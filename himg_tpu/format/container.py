@@ -1,0 +1,99 @@
+"""RIFF/HIMG container framing.
+
+The HIMG file is a RIFF container: "RIFF" + u32 payload size + "HIMG",
+followed by chunks of the form fourcc + u32 size + bytes.  Chunk sequence as
+written by the reference encoder (encoder.cpp:59-109):
+
+    FRMT  version/width/height/channels/colorspace   (encoder.cpp:139-166)
+    LMAP  low-res mapper serialization               (encoder.cpp:168-184)
+    LRES  Huffman blob: low-res predictive layer     (encoder.cpp:186-220)
+    QCFG  4-bit packed quantizer shift tables        (encoder.cpp:222-238)
+    FMAP  full-res mapper serialization              (encoder.cpp:240-256)
+    FRES  Huffman blob: coefficient data             (encoder.cpp:258-335)
+
+Readers locate chunks by linear scan and skip unknown fourccs for forward
+compatibility (decoder.cpp:445-461).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+
+class FormatError(ValueError):
+    """Raised on malformed container data."""
+
+
+@dataclass(frozen=True)
+class FormatHeader:
+    """Contents of the FRMT chunk (decoder.cpp:168-200)."""
+    width: int
+    height: int
+    num_channels: int
+    use_ycbcr: bool
+    version: int = 1
+
+    def serialize(self) -> bytes:
+        return struct.pack(
+            "<BiiBB", self.version, self.width, self.height,
+            self.num_channels, 1 if self.use_ycbcr else 0)
+
+    @staticmethod
+    def deserialize(data: bytes) -> "FormatHeader":
+        if len(data) < 11:
+            raise FormatError("FRMT chunk too small")
+        version, width, height, channels, ycbcr = struct.unpack_from("<BiiBB", data)
+        if version != 1:
+            raise FormatError(f"unsupported HIMG version {version}")
+        return FormatHeader(width, height, channels, ycbcr != 0, version)
+
+
+class RIFFWriter:
+    """Builds a RIFF/HIMG byte stream chunk by chunk."""
+
+    def __init__(self) -> None:
+        self._chunks: list[bytes] = []
+
+    def add_chunk(self, fourcc: str, payload: bytes) -> None:
+        assert len(fourcc) == 4
+        self._chunks.append(
+            fourcc.encode("ascii") + struct.pack("<I", len(payload)) + payload)
+
+    def tobytes(self) -> bytes:
+        body = b"".join(self._chunks)
+        # RIFF size covers everything after the 8-byte RIFF header, i.e.
+        # the "HIMG" form tag plus all chunks (encoder.cpp:131-137).
+        return b"RIFF" + struct.pack("<I", len(body) + 4) + b"HIMG" + body
+
+
+class RIFFReader:
+    """Sequential chunk scanner over a RIFF/HIMG byte stream.
+
+    `find_chunk` mirrors the reference's skip-unknown forward scan
+    (decoder.cpp:445-461): chunks must be requested in file order; unknown
+    chunks in between are skipped.
+    """
+
+    def __init__(self, data: bytes) -> None:
+        self._data = data
+        if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"HIMG":
+            raise FormatError("not a RIFF HIMG file")
+        (size,) = struct.unpack_from("<I", data, 4)
+        if size + 8 != len(data):
+            raise FormatError("RIFF size mismatch")
+        self._pos = 12
+
+    def find_chunk(self, fourcc: str) -> bytes:
+        want = fourcc.encode("ascii")
+        while self._pos + 8 <= len(self._data):
+            tag = self._data[self._pos:self._pos + 4]
+            (size,) = struct.unpack_from("<I", self._data, self._pos + 4)
+            self._pos += 8
+            if self._pos + size > len(self._data):
+                raise FormatError(f"truncated chunk {tag!r}")
+            payload = self._data[self._pos:self._pos + size]
+            self._pos += size
+            if tag == want:
+                return payload
+        raise FormatError(f"chunk {fourcc} not found")
