@@ -1,0 +1,301 @@
+"""Low-resolution base layer: sampling, upsampling, predictive coding.
+
+The base layer stores one sample per 8x8 block per channel and serves both
+as the DC/low-frequency predictor subtracted before the forward WHT and as
+an embedded thumbnail (downsampled.cpp).
+
+TPU-first design notes:
+
+- `sample_image` turns the reference's per-block window loops
+  (downsampled.cpp:67-94) into an integral-image (2-D cumsum) + 4-corner
+  gather, one fused pass over the whole plane.
+- `upsample` evaluates the repeated-averaging bilinear cascade
+  (downsampled.cpp:116-169) as ~30 elementwise ops over every block at
+  once; exact (x+y+1)>>1 rounding is preserved at each step.
+- the predictor *search* (downsampled.cpp:182-253) is a vectorized
+  5-predictor SSE argmin over shifted neighbour arrays.
+- the only true loop-carried dependency -- reconstruction feedback inside a
+  16x16 macro block (downsampled.cpp:296-309 encode, :333-380 decode) --
+  runs as a nested lax.scan over the 16x16 raster, vectorized across all
+  macro blocks (and channels) in lockstep.  Neighbour context never
+  crosses macro-block borders (boundary cells fall back to
+  above/left/128), which is what makes macro blocks independent lanes.
+
+All functions operate per channel plane; callers batch channels into the
+macro-block lane axis.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MACRO = 16  # samples per macro block side (downsampled.cpp:23)
+
+
+# --------------------------------------------------------------------------
+# Analysis: image -> low-res samples.
+# --------------------------------------------------------------------------
+
+def sample_image(plane: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [H, W] -> uint8 [rows, cols] low-res samples.
+
+    Per-block mean over the window x in [8u-3, 8u+4], y in [8v-3, 8v+4]
+    clamped to the image, rounded; then a 1/16-pixel phase-compensating
+    blend with the up/left neighbour (downsampled.cpp:67-113).
+    """
+    h, w = plane.shape
+    rows, cols = (h + 7) >> 3, (w + 7) >> 3
+    x = plane.astype(jnp.int32)
+    # Integral image with a zero border: ii[y, x] = sum of plane[:y, :x].
+    ii = jnp.pad(jnp.cumsum(jnp.cumsum(x, axis=0), axis=1), ((1, 0), (1, 0)))
+
+    v = jnp.arange(rows)
+    u = jnp.arange(cols)
+    y0 = jnp.maximum(0, v * 8 - 3)
+    y1 = jnp.minimum(h - 1, v * 8 + 4)
+    x0 = jnp.maximum(0, u * 8 - 3)
+    x1 = jnp.minimum(w - 1, u * 8 + 4)
+    s = (ii[y1 + 1][:, x1 + 1] - ii[y0][:, x1 + 1]
+         - ii[y1 + 1][:, x0] + ii[y0][:, x0])
+    count = (y1 - y0 + 1)[:, None] * (x1 - x0 + 1)[None, :]
+    avg = (s + (count >> 1)) // count
+
+    # Phase compensation: blend 1/16 with the left then the up neighbour.
+    left = jnp.concatenate([avg[:, :1], avg[:, :-1]], axis=1)
+    a = (left + 15 * avg + 8) >> 4
+    up = jnp.concatenate([a[:1], a[:-1]], axis=0)
+    return ((up + 15 * a + 8) >> 4).astype(jnp.uint8)
+
+
+# --------------------------------------------------------------------------
+# Reconstruction: low-res samples -> 8x8 predictor blocks.
+# --------------------------------------------------------------------------
+
+def _avg_cascade(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """9-point repeated-averaging interpolation between a and b.
+
+    Returns stack [..., 9] where [0]=a, [8]=b and interior points follow the
+    exact (x+y+1)>>1 halving order of downsampled.cpp:127-145.
+    """
+    v0, v8 = a, b
+    v4 = (v0 + v8 + 1) >> 1
+    v2 = (v0 + v4 + 1) >> 1
+    v6 = (v4 + v8 + 1) >> 1
+    v1 = (v0 + v2 + 1) >> 1
+    v3 = (v2 + v4 + 1) >> 1
+    v5 = (v4 + v6 + 1) >> 1
+    v7 = (v6 + v8 + 1) >> 1
+    return jnp.stack([v0, v1, v2, v3, v4, v5, v6, v7, v8], axis=-1)
+
+
+def upsample(lowres: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [rows, cols] samples -> int16 [rows, cols, 8, 8] blocks.
+
+    Bilinear upsampling of each block's 2x2 corner samples (edge-clamped)
+    using only repeated averaging (downsampled.cpp:116-169).
+    """
+    d = lowres.astype(jnp.int16)
+    x11 = d
+    x12 = jnp.concatenate([d[:, 1:], d[:, -1:]], axis=1)
+    x21 = jnp.concatenate([d[1:], d[-1:]], axis=0)
+    x22 = jnp.concatenate([x12[1:], x12[-1:]], axis=0)
+    left = _avg_cascade(x11, x21)    # [rows, cols, 9]
+    right = _avg_cascade(x12, x22)
+    grid = _avg_cascade(left, right)  # [rows, cols, 9(y), 9(x)]
+    return grid[..., :8, :8]
+
+
+# --------------------------------------------------------------------------
+# Predictive coding of the sample grid.
+# --------------------------------------------------------------------------
+
+def _clamp8(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(x, 0, 255)
+
+
+def _predict_all(s1, s2, s3):
+    """All five spatial predictors (downsampled.cpp:41-60), stacked last."""
+    p0 = _clamp8((3 * (s2 + s3) - 2 * s1 + 2) >> 2)
+    p1 = s2
+    p2 = s3
+    p3 = (s2 + s3 + 1) >> 1
+    p4 = _clamp8(s2 + s3 - s1)
+    return jnp.stack([p0, p1, p2, p3, p4], axis=-1)
+
+
+def _neighbor_context(d: jnp.ndarray):
+    """(s1, s2, s3) for every grid cell, with macro-block-local fallbacks.
+
+    d is int16 [R, C] (R, C multiples of MACRO not required).  Boundary
+    rules from downsampled.cpp:200-216: inside a macro block use the
+    diagonal/above/left neighbours; on the top edge of a block all three
+    collapse to the left sample, on the left edge to the above sample, and
+    the corner uses 128.
+    """
+    r, c = d.shape
+    up = jnp.concatenate([d[:1], d[:-1]], axis=0)
+    lf = jnp.concatenate([d[:, :1], d[:, :-1]], axis=1)
+    diag = jnp.concatenate([up[:, :1], up[:, :-1]], axis=1)
+    du0 = (jnp.arange(c) % MACRO == 0)[None, :]
+    dv0 = (jnp.arange(r) % MACRO == 0)[:, None]
+    both = du0 & dv0
+    s1 = jnp.where(both, 128, jnp.where(dv0, lf, jnp.where(du0, up, diag)))
+    s2 = jnp.where(both, 128, jnp.where(dv0, lf, up))
+    s3 = jnp.where(both, 128, jnp.where(du0, up, lf))
+    return s1, s2, s3
+
+
+def select_predictors(lowres: jnp.ndarray) -> jnp.ndarray:
+    """Best predictor per macro block by SSE over the *unquantized* grid.
+
+    Mirrors the reference's selection pass (downsampled.cpp:182-253), which
+    evaluates predictors against original (not reconstructed) neighbours.
+    Ties keep the lowest predictor index.  Returns int32 [MR, MC].
+    """
+    d = lowres.astype(jnp.int16)
+    r, c = d.shape
+    s1, s2, s3 = _neighbor_context(d)
+    preds = _predict_all(s1, s2, s3)                  # [R, C, 5]
+    err = (d[..., None].astype(jnp.int32) - preds.astype(jnp.int32)) ** 2
+    mr, mc = -(-r // MACRO), -(-c // MACRO)
+    pr, pc = mr * MACRO - r, mc * MACRO - c
+    err = jnp.pad(err, ((0, pr), (0, pc), (0, 0)))
+    err = err.reshape(mr, MACRO, mc, MACRO, 5).sum(axis=(1, 3))
+    return jnp.argmin(err, axis=-1).astype(jnp.int32)
+
+
+def _to_tiles(grid: jnp.ndarray):
+    """[R, C] -> ([T, 16, 16] tiles, (MR, MC)); zero-padded."""
+    r, c = grid.shape
+    mr, mc = -(-r // MACRO), -(-c // MACRO)
+    g = jnp.pad(grid, ((0, mr * MACRO - r), (0, mc * MACRO - c)))
+    tiles = g.reshape(mr, MACRO, mc, MACRO).transpose(0, 2, 1, 3)
+    return tiles.reshape(mr * mc, MACRO, MACRO), (mr, mc)
+
+
+def _from_tiles(tiles: jnp.ndarray, shape):
+    r, c = shape
+    mr, mc = -(-r // MACRO), -(-c // MACRO)
+    g = tiles.reshape(mr, mc, MACRO, MACRO).transpose(0, 2, 1, 3)
+    return g.reshape(mr * MACRO, mc * MACRO)[:r, :c]
+
+
+def _feedback_scan(tiles_in, pred_id, decode: bool, map_small, unmap_lut):
+    """Shared raster scan with reconstruction feedback over [T, 16, 16] tiles.
+
+    encode (decode=False): tiles_in holds actual samples; emits
+    (delta_bytes, recon).  decode: tiles_in holds delta bytes; emits recon.
+    Replicates downsampled.cpp:296-309 / :353-380 semantics per lane.
+
+    Runs entirely in int32: every intermediate fits (deltas in [-255, 255],
+    predictors bounded by the clamps).  Gathers are kept out of the scan
+    body where possible (they compile poorly inside loops): decode hoists
+    its unmap lookup over the whole tile up front; encode fuses its
+    map+unmap pair into a single composite-LUT gather per step.
+    """
+    t = tiles_in.shape[0]
+    pred_oh = jax.nn.one_hot(pred_id, 5, dtype=jnp.int32)  # [T, 5]
+    tiles32 = tiles_in.astype(jnp.int32)
+    if decode:
+        # Input bytes map to deltas independent of the scan state.
+        hoisted = unmap_lut.astype(jnp.int32)[tiles32]
+        combo = None
+    else:
+        # combo[d + 511] packs (unmap(map(d)) + 512) << 8 | wire_byte so the
+        # in-loop feedback needs one gather, not two.
+        m32 = map_small.astype(jnp.int32)
+        recon_delta = unmap_lut.astype(jnp.int32)[m32]
+        combo = ((recon_delta + 512) << 8) | m32
+        hoisted = tiles32
+
+    def row_step(prev_row, row_xs):
+        row_vals, dv = row_xs          # [T, 16], scalar index
+        dv0 = dv == 0
+        left = prev_row[:, 0] * 0
+        outs = []
+        recons = []
+        # The 16-column inner loop is unrolled: each step is a handful of
+        # [T]-wide VPU ops; unrolling avoids a nested while loop.
+        for du in range(MACRO):
+            val = row_vals[:, du]
+            s1n = prev_row[:, du - 1] if du > 0 else prev_row[:, 0]
+            s2n = prev_row[:, du]
+            if du == 0:
+                s1 = s2 = s3 = jnp.where(dv0, 128, s2n)
+            else:
+                s1 = jnp.where(dv0, left, s1n)
+                s2 = jnp.where(dv0, left, s2n)
+                s3 = left
+            preds = _predict_all(s1, s2, s3)            # [T, 5]
+            predicted = (preds * pred_oh).sum(axis=-1)
+            if decode:
+                recon = _clamp8(predicted + val)
+                out = recon
+            else:
+                c = combo[val - predicted + 511]
+                out = c & 0xFF                          # wire byte
+                recon = _clamp8(predicted + (c >> 8) - 512)
+            outs.append(out)
+            recons.append(recon)
+            left = recon
+        new_row = jnp.stack(recons, axis=1)             # [T, 16]
+        return new_row, jnp.stack(outs, axis=1)
+
+    row_xs = (hoisted.transpose(1, 0, 2), jnp.arange(MACRO))
+    # Derive the initial carry from the data so its device-varying axes
+    # match the body output under shard_map.
+    init_row = hoisted[:, 0, :] * 0
+    _, out_rows = jax.lax.scan(row_step, init_row, row_xs)
+    return out_rows.transpose(1, 0, 2)  # [T, 16, 16]
+
+
+def encode_deltas(lowres: jnp.ndarray, pred_id: jnp.ndarray,
+                  map_small: jnp.ndarray, unmap_lut: jnp.ndarray) -> jnp.ndarray:
+    """Quantized prediction deltas for the sample grid.
+
+    lowres: uint8 [R, C]; pred_id: int32 [MR, MC] from select_predictors.
+    map_small: uint8[1023] MapTo8Bit LUT slice for inputs in [-511, 511]
+    (index delta+511); unmap_lut: int16[256].  Returns uint8 [R, C] delta
+    bytes in grid layout (use macroblock_stream_order for wire order).
+    """
+    tiles, (mr, mc) = _to_tiles(lowres.astype(jnp.int16))
+    out = _feedback_scan(tiles, pred_id.reshape(-1), False, map_small, unmap_lut)
+    return _from_tiles(out.astype(jnp.uint8), lowres.shape)
+
+
+def decode_deltas(delta_grid: jnp.ndarray, pred_id: jnp.ndarray,
+                  unmap_lut: jnp.ndarray, shape) -> jnp.ndarray:
+    """Integrate delta bytes back into the uint8 sample grid."""
+    tiles, _ = _to_tiles(delta_grid.astype(jnp.int16))
+    out = _feedback_scan(tiles, pred_id.reshape(-1), True, None, unmap_lut)
+    return _from_tiles(out.astype(jnp.uint8), shape)
+
+
+# --------------------------------------------------------------------------
+# Wire layout helpers (host-side, static per image geometry).
+# --------------------------------------------------------------------------
+
+def block_data_size(rows: int, cols: int) -> int:
+    """Serialized bytes per channel: predictor map + deltas
+    (downsampled.cpp:171-175)."""
+    mr, mc = -(-rows // MACRO), -(-cols // MACRO)
+    return mr * mc + rows * cols
+
+
+def macroblock_stream_order(rows: int, cols: int) -> np.ndarray:
+    """Flat grid indices (v*cols + u) in wire order.
+
+    The wire walks macro blocks in raster order and each macro block's valid
+    cells in raster order (downsampled.cpp:268-316).
+    """
+    mr, mc = -(-rows // MACRO), -(-cols // MACRO)
+    order = []
+    for mv in range(mr):
+        for mu in range(mc):
+            for dv in range(min(MACRO, rows - mv * MACRO)):
+                v = mv * MACRO + dv
+                for du in range(min(MACRO, cols - mu * MACRO)):
+                    order.append(v * cols + mu * MACRO + du)
+    return np.asarray(order, dtype=np.int64)

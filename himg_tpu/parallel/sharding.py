@@ -1,0 +1,231 @@
+"""Multi-chip sharded encode/decode over a jax.sharding.Mesh.
+
+The HIMG format was designed for hardware parallelism (per-block-row
+Huffman substreams, coefficient-major interleave, an up-front low-res
+layer); this module maps that structure onto a TPU mesh:
+
+- axis "batch": data parallelism over independent images (config 4's
+  256x1080p batches; trivially parallel).
+- axis "rows": spatial parallelism over 8-pixel block rows within one
+  image (configs 5's 4K/8K single images).  Block rows are independent
+  after the low-res layer is known, which is exactly the property the
+  format's substream design exists to provide (README.md:27-29).
+
+Collective structure per step (all over ICI):
+- 8-row halo exchange (ppermute) for the low-res window sums that peek
+  up to 3/4 pixels across a shard edge;
+- 1-row ppermute for the phase-compensation blend;
+- all_gather of the low-res sample grid (1/64 of the pixels) so the
+  macro-block predictive scan -- which crosses row-shard boundaries --
+  runs replicated instead of serialized across shards;
+- everything heavy (WHT, quantize, companding, interleave) stays local.
+
+Host-side entropy coding then consumes per-shard interleaved planes; the
+261-bin histogram reduction is the only global step (psum-shaped, done on
+host after a device->host copy of per-row planes).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import blocks as blockops
+from ..ops import hadamard, lowres, quantize, ycbcr
+
+
+def make_mesh(n_batch: int = 1, n_rows: int = 1, devices=None) -> Mesh:
+    """Build a (batch, rows) mesh from the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    assert n_batch * n_rows <= len(devices)
+    dev = np.asarray(devices[:n_batch * n_rows]).reshape(n_batch, n_rows)
+    return Mesh(dev, ("batch", "rows"))
+
+
+def _sample_rows_sharded(plane, h: int, row_start: int):
+    """Low-res sample rows for a local [hL, W] slab with halo exchange.
+
+    Equivalent to lowres.sample_image restricted to this shard's block
+    rows; `row_start` is the first global pixel row, h the global height.
+    """
+    hl, w = plane.shape
+    axis = "rows"
+    n = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+
+    # 8-row halos (windows reach 3 rows up / 4 rows down).
+    up = jax.lax.ppermute(plane[-8:], axis,
+                          [(i, (i + 1) % n) for i in range(n)])
+    down = jax.lax.ppermute(plane[:8], axis,
+                            [(i, (i - 1) % n) for i in range(n)])
+    ext = jnp.concatenate([up, plane, down], axis=0)  # [hL+16, W]
+
+    x = ext.astype(jnp.int32)
+    ii = jnp.pad(jnp.cumsum(jnp.cumsum(x, axis=0), axis=1), ((1, 0), (1, 0)))
+
+    rl = hl >> 3
+    v_global = (row_start >> 3) + jnp.arange(rl)
+    # Window rows in ext coordinates (global minus (row_start - 8)).
+    y0 = jnp.maximum(0, v_global * 8 - 3) - (row_start - 8)
+    y1 = jnp.minimum(h - 1, v_global * 8 + 4) - (row_start - 8)
+    # First/last shards have no real halo; clamp into the valid region.
+    y0 = jnp.clip(y0, jnp.where(idx == 0, 8, 0), hl + 16)
+    y1 = jnp.clip(y1, 0, jnp.where(idx == n - 1, hl + 7, hl + 15))
+
+    cols = (w + 7) >> 3
+    u = jnp.arange(cols)
+    x0 = jnp.maximum(0, u * 8 - 3)
+    x1 = jnp.minimum(w - 1, u * 8 + 4)
+    # Gather the 4 integral-image corners via dynamic row indexing.
+    s = (ii[y1 + 1][:, x1 + 1] - ii[y0][:, x1 + 1]
+         - ii[y1 + 1][:, x0] + ii[y0][:, x0])
+    count = (y1 - y0 + 1)[:, None] * (x1 - x0 + 1)[None, :]
+    avg = (s + (count >> 1)) // count                  # [rL, cols]
+
+    # Phase compensation: left blend locally, up blend needs 1 halo row.
+    left = jnp.concatenate([avg[:, :1], avg[:, :-1]], axis=1)
+    a = (left + 15 * avg + 8) >> 4
+    prev = jax.lax.ppermute(a[-1:], axis, [(i, (i + 1) % n) for i in range(n)])
+    prev_rows = jnp.concatenate([jnp.where(idx == 0, a[:1], prev), a[:-1]],
+                                axis=0)
+    return ((prev_rows + 15 * a + 8) >> 4).astype(jnp.uint8)
+
+
+def _encode_shard_body(img, shift_tables, fr_map_lut, lr_map_small, lr_unmap,
+                       *, h: int, use_ycbcr: bool):
+    """shard_map body: [hL, W, C] slab -> local planes + replicated low-res.
+
+    Returns (fres_local [rL, C, 64, cols], pred_ids [C, MR, MC],
+    delta_grid [C, R, Cc]) -- the latter two replicated across shards.
+    """
+    axis = "rows"
+    n = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+    hl = img.shape[0]
+    row_start = idx * hl
+
+    if use_ycbcr:
+        img = ycbcr.rgb_to_ycbcr(img)
+    chans = jnp.moveaxis(img, -1, 0)                   # [C, hL, W]
+
+    local_rows = jax.vmap(
+        lambda p: _sample_rows_sharded(p, h, row_start))(chans)
+    # Full low-res grid everywhere: tiny (1/64 of pixels), and the
+    # macro-block feedback scan crosses shard rows.
+    grids = jax.lax.all_gather(local_rows, axis, axis=1, tiled=True)
+
+    pred_ids = jax.vmap(lowres.select_predictors)(grids)
+    effective = jnp.where(pred_ids <= 1, 0, pred_ids)
+    delta_grids = jax.vmap(
+        lambda g, p: lowres.encode_deltas(g, p, lr_map_small, lr_unmap)
+    )(grids, effective)
+
+    # Local full-res path; predictor blocks sliced from the gathered grid
+    # (upsample needs one sample row below the local slab).
+    rl = hl >> 3
+    pred_blocks_full = jax.vmap(lowres.upsample)(grids)
+    v0 = row_start >> 3
+    pred_blocks = jax.lax.dynamic_slice_in_dim(pred_blocks_full, v0, rl, 1)
+
+    padded = jax.vmap(blockops.pad_to_blocks)(chans)
+    blk = jax.vmap(blockops.to_blocks)(padded).astype(jnp.int16)
+    coeffs = hadamard.forward(blk - pred_blocks)
+    flat = coeffs.reshape(*coeffs.shape[:-2], 64)
+    packed = quantize.pack(flat, shift_tables[:, None, None, :], fr_map_lut)
+    inter = jax.vmap(blockops.interleave_coefficients)(packed)
+    return jnp.moveaxis(inter, 0, 1), pred_ids, delta_grids
+
+
+def build_sharded_encode(mesh: Mesh, h: int, w: int, c: int,
+                         use_ycbcr: bool):
+    """Jitted sharded encode transform for [B, H, W, C] batches.
+
+    B is sharded over mesh axis "batch", H over "rows" (H/n_rows must be a
+    multiple of 8; use pad_to_blocks first for odd sizes).  Returns a
+    function (imgs, shift_tables, fr_map_lut, lr_map_small, lr_unmap) ->
+    (fres [B, rows, C, 64, cols], pred_ids [B, C, MR, MC],
+     delta_grids [B, C, R, Cc]).
+    """
+    n_rows = mesh.shape["rows"]
+    assert h % (8 * n_rows) == 0, "height must split into 8-row multiples"
+
+    body = partial(_encode_shard_body, h=h, use_ycbcr=use_ycbcr)
+    inner = jax.shard_map(
+        jax.vmap(body, in_axes=(0, None, None, None, None)),
+        mesh=mesh,
+        in_specs=(P("batch", "rows", None, None), P(), P(), P(), P()),
+        out_specs=(P("batch", "rows", None, None, None), P("batch"),
+                   P("batch")),
+        # pred/delta outputs are replicated over "rows" by construction
+        # (computed from the all-gathered grid); the static checker cannot
+        # prove it, so disable the varying-axes check.
+        check_vma=False,
+    )
+    return jax.jit(inner)
+
+
+def _decode_shard_body(fres_local, grids, shift_tables, fr_unmap,
+                       *, use_ycbcr: bool):
+    """shard_map body: local interleaved planes -> local pixel slab."""
+    axis = "rows"
+    idx = jax.lax.axis_index(axis)
+    rl = fres_local.shape[0]
+    v0 = idx * rl
+
+    planes = jnp.moveaxis(fres_local, 1, 0)            # [C, rL, 64, cols]
+    packed = jax.vmap(blockops.deinterleave_coefficients)(planes)
+    coeffs = quantize.unpack(packed, shift_tables[:, None, None, :], fr_unmap)
+    blk = hadamard.inverse(coeffs.reshape(*coeffs.shape[:-1], 8, 8))
+    pred_full = jax.vmap(lowres.upsample)(grids)
+    pred_blocks = jax.lax.dynamic_slice_in_dim(pred_full, v0, rl, 1)
+    restored = blk.astype(jnp.int32) + pred_blocks.astype(jnp.int32)
+    img = jax.vmap(blockops.from_blocks)(
+        jnp.clip(restored, 0, 255).astype(jnp.uint8))
+    img = jnp.moveaxis(img, 0, -1)
+    if use_ycbcr:
+        img = ycbcr.ycbcr_to_rgb(img)
+    return img
+
+
+def build_sharded_decode(mesh: Mesh, h: int, w: int, c: int,
+                         use_ycbcr: bool):
+    """Jitted sharded decode transform.
+
+    (fres [B, rows, C, 64, cols] sharded (batch, rows),
+     delta_grids [B, C, R, Cc], pred_ids [B, C, MR*MC], shift_tables,
+     fr_unmap, lr_unmap) -> [B, H8, W8, C] sharded (batch, rows).
+
+    The low-res delta integration runs replicated (it is 1/64 of the data
+    and crosses shard rows); the heavy per-block stages stay local.
+    """
+    n_rows = mesh.shape["rows"]
+    assert h % (8 * n_rows) == 0
+
+    def replicated_lowres(delta_grids, pred_ids, lr_unmap):
+        r, cc = delta_grids.shape[-2], delta_grids.shape[-1]
+        return jax.vmap(
+            lambda d, p: lowres.decode_deltas(d, p, lr_unmap, (r, cc))
+        )(delta_grids, pred_ids)
+
+    body = partial(_decode_shard_body, use_ycbcr=use_ycbcr)
+
+    def shard_fn(fres, delta_grids, pred_ids, shift_tables, fr_unmap,
+                 lr_unmap):
+        def one(fres_b, dg_b, pi_b):
+            grids = replicated_lowres(dg_b, pi_b, lr_unmap)
+            return body(fres_b, grids, shift_tables, fr_unmap)
+        return jax.vmap(one)(fres, delta_grids, pred_ids)
+
+    inner = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("batch", "rows", None, None, None), P("batch"),
+                  P("batch"), P(), P(), P()),
+        out_specs=P("batch", "rows", None, None),
+    )
+    return jax.jit(inner)

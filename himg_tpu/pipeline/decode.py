@@ -1,0 +1,112 @@
+"""HIMG decoder pipeline: host entropy/container + JAX transform stages.
+
+Mirrors the reference decode sequence (decoder.cpp:87-138).  The Huffman
+streams are expanded on the host (see entropy/), then one jitted device
+program performs everything per-pixel: low-res delta integration, bilinear
+upsample, coefficient deinterleave, dequantization, inverse WHT, predictor
+add, clamp, and the YCbCr inverse.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..format import tables
+from ..format.container import FormatHeader, FormatError, RIFFReader
+from ..entropy import bitpack
+from ..ops import blocks as blockops
+from ..ops import hadamard, lowres, quantize, ycbcr
+from .encode import _stream_order
+
+
+@partial(jax.jit, static_argnames=("use_ycbcr",))
+def _decode_device(fres, delta_grids, pred_ids, shift_tables, fr_unmap,
+                   lr_unmap, use_ycbcr: bool):
+    """Device-side decode.
+
+    fres: [rows, C, 64, cols] uint8 interleaved planes.
+    delta_grids: [C, R, Cc] uint8; pred_ids: [C, MR*MC] int32.
+    Returns uint8 [H8, W8, C] (callers crop to the true size).
+    """
+    c = delta_grids.shape[0]
+    r, cc = delta_grids.shape[1], delta_grids.shape[2]
+
+    grids = jax.vmap(
+        lambda d, p: lowres.decode_deltas(d, p, lr_unmap, (r, cc))
+    )(delta_grids, pred_ids)
+
+    planes = jnp.moveaxis(fres, 1, 0)                    # [C, rows, 64, cols]
+    packed = jax.vmap(blockops.deinterleave_coefficients)(planes)
+    coeffs = quantize.unpack(packed, shift_tables[:, None, None, :], fr_unmap)
+    blk = hadamard.inverse(coeffs.reshape(*coeffs.shape[:-1], 8, 8))
+    pred_blocks = jax.vmap(lowres.upsample)(grids)
+    restored = blk.astype(jnp.int32) + pred_blocks.astype(jnp.int32)
+    img = jax.vmap(blockops.from_blocks)(
+        jnp.clip(restored, 0, 255).astype(jnp.uint8))
+    img = jnp.moveaxis(img, 0, -1)                       # [H8, W8, C]
+    if use_ycbcr:
+        img = ycbcr.ycbcr_to_rgb(img)
+    return img
+
+
+def decode(data: bytes) -> np.ndarray:
+    """Decode HIMG bytes to an [H, W, C] uint8 image.
+
+    Raises FormatError on malformed input (the reference returns false with
+    a message, decoder.cpp:96-135).
+    """
+    reader = RIFFReader(bytes(data))
+    header = FormatHeader.deserialize(reader.find_chunk("FRMT"))
+    w, h, c = header.width, header.height, header.num_channels
+    has_chroma = header.use_ycbcr and c >= 3
+    rows, cols = (h + 7) >> 3, (w + 7) >> 3
+
+    lr_mapper = tables.MappingTable.deserialize(reader.find_chunk("LMAP"))
+    if lr_mapper is None:
+        raise FormatError("bad LMAP chunk")
+
+    # LRES: predictor maps + delta bytes, one single-stream Huffman blob.
+    channel_size = lowres.block_data_size(rows, cols)
+    lres = bitpack.decompress(reader.find_chunk("LRES"), channel_size * c, 0)
+    mr, mc = -(-rows // lowres.MACRO), -(-cols // lowres.MACRO)
+    order = _stream_order(rows, cols)
+    inv_order = np.empty_like(order)
+    inv_order[order] = np.arange(len(order))
+    pred_ids = np.empty((c, mr * mc), dtype=np.int32)
+    delta_grids = np.empty((c, rows, cols), dtype=np.uint8)
+    for chan in range(c):
+        part = lres[chan * channel_size:(chan + 1) * channel_size]
+        # DecodePredictor adds 2 without masking (downsampled.cpp:36-39);
+        # anything outside switch cases 1..4 falls through to the mix
+        # predictor (case 0 / default).
+        v = part[:mr * mc].astype(np.int32) + 2
+        pred_ids[chan] = np.where((v >= 1) & (v <= 4), v, 0)
+        delta_grids[chan] = part[mr * mc:][inv_order].reshape(rows, cols)
+
+    qcfg = tables.unpack_quant_config(reader.find_chunk("QCFG"), has_chroma)
+    if qcfg is None:
+        raise FormatError("bad QCFG chunk")
+    luma_shift, chroma_shift = qcfg
+    shift_tables = np.tile(luma_shift, (c, 1))
+    if has_chroma:
+        shift_tables[1:3] = chroma_shift
+
+    fr_mapper = tables.MappingTable.deserialize(reader.find_chunk("FMAP"))
+    if fr_mapper is None:
+        raise FormatError("bad FMAP chunk")
+
+    # FRES: per-block-row substreams of interleaved coefficient planes.
+    block_size = cols * c * 64
+    fres = bitpack.decompress(reader.find_chunk("FRES"),
+                              rows * block_size, block_size)
+    fres = fres.reshape(rows, c, 64, cols)
+
+    img = _decode_device(
+        jnp.asarray(fres), jnp.asarray(delta_grids), jnp.asarray(pred_ids),
+        jnp.asarray(shift_tables), jnp.asarray(fr_mapper.unmap_lut),
+        jnp.asarray(lr_mapper.unmap_lut), has_chroma)
+    return np.asarray(img)[:h, :w, :]

@@ -1,0 +1,122 @@
+"""HIMG encoder pipeline: JAX transform stages + host entropy/container.
+
+Mirrors the reference encode sequence (encoder.cpp:59-109) with a TPU-first
+split: everything per-pixel -- color transform, low-res analysis, predictor
+search, delta feedback scan, block extraction, forward WHT, quantization,
+companding, coefficient interleave -- runs inside one jitted device program
+over the whole image; the host handles only entropy coding and RIFF
+framing (a few bytes per chunk plus the Huffman streams).
+
+Chunk order and all serialization formats are bit-exact with the reference
+(verified against chimg in tests/test_parity.py).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..format import tables
+from ..format.container import FormatHeader, RIFFWriter
+from ..entropy import bitpack
+from ..ops import blocks as blockops
+from ..ops import hadamard, lowres, quantize, ycbcr
+
+
+@lru_cache(maxsize=32)
+def _stream_order(rows: int, cols: int) -> np.ndarray:
+    return lowres.macroblock_stream_order(rows, cols)
+
+
+@partial(jax.jit, static_argnames=("use_ycbcr",))
+def _encode_device(img, shift_tables, fr_map_lut, lr_map_small, lr_unmap,
+                   use_ycbcr: bool):
+    """Device-side encode: [H, W, C] uint8 -> low-res + coefficient planes.
+
+    Returns (pred_ids [C, MR, MC] int32,
+             delta_grids [C, R, Cc] uint8,
+             fres [rows, C, 64, cols] uint8 interleaved planes).
+    """
+    if use_ycbcr:
+        img = ycbcr.rgb_to_ycbcr(img)
+    chans = jnp.moveaxis(img, -1, 0)                    # [C, H, W]
+
+    # Low-res layer (vectorized over channels).
+    grids = jax.vmap(lowres.sample_image)(chans)        # [C, R, Cc] uint8
+    pred_ids = jax.vmap(lowres.select_predictors)(grids)
+    # Reference quirk (downsampled.cpp:33-39 + :44): the predictor byte is
+    # stored as (pred - 2) and decoded as (byte + 2) *without masking*, so
+    # selections 0 and 1 decode to 256/257 and hit the switch default --
+    # the mix formula (case 0).  Both the encoder's feedback loop and the
+    # decoder agree on this, so the effective coding predictor is
+    # {0->0, 1->0, 2..4 unchanged}.
+    effective = jnp.where(pred_ids <= 1, 0, pred_ids)
+    delta_grids = jax.vmap(
+        lambda g, p: lowres.encode_deltas(g, p, lr_map_small, lr_unmap)
+    )(grids, effective)
+
+    # Full-res: blocks minus upsampled low-res, WHT, quantize, interleave.
+    padded = jax.vmap(blockops.pad_to_blocks)(chans)    # [C, H8, W8]
+    blk = jax.vmap(blockops.to_blocks)(padded).astype(jnp.int16)
+    pred_blocks = jax.vmap(lowres.upsample)(grids)      # [C, rows, cols, 8, 8]
+    diff = blk - pred_blocks
+    coeffs = hadamard.forward(diff)                     # [C, rows, cols, 8, 8]
+    flat = coeffs.reshape(*coeffs.shape[:-2], 64)
+    packed = quantize.pack(flat, shift_tables[:, None, None, :], fr_map_lut)
+    inter = jax.vmap(blockops.interleave_coefficients)(packed)
+    return pred_ids, delta_grids, jnp.moveaxis(inter, 0, 1)
+
+
+def encode(image: np.ndarray, quality: int = 50, use_ycbcr: bool = True) -> bytes:
+    """Encode an [H, W, C] (or [H, W]) uint8 image to HIMG bytes.
+
+    Same contract as himg::Encoder::Encode (encoder.h:24-34): quality in
+    [0, 100], YCbCr used only when the image has >= 3 channels.
+    """
+    img = np.asarray(image, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, c = img.shape
+    use_ycbcr = bool(use_ycbcr) and c >= 3
+    rows, cols = (h + 7) >> 3, (w + 7) >> 3
+
+    # Tables (tiny, host).
+    lr_mapper = tables.MappingTable.for_lowres_quality(quality)
+    fr_mapper = tables.MappingTable.for_fullres_quality(quality)
+    luma_shift, chroma_shift = tables.make_quantizer(quality, use_ycbcr)
+    shift_tables = np.tile(luma_shift, (c, 1))
+    if use_ycbcr:
+        shift_tables[1:3] = chroma_shift
+    lr_map_small = lr_mapper.map_lut[32768 - 511:32768 + 512]
+
+    pred_ids, delta_grids, fres = _encode_device(
+        jnp.asarray(img), jnp.asarray(shift_tables),
+        jnp.asarray(fr_mapper.map_lut), jnp.asarray(lr_map_small),
+        jnp.asarray(lr_mapper.unmap_lut), use_ycbcr)
+    pred_ids = np.asarray(pred_ids)
+    delta_grids = np.asarray(delta_grids)
+    fres = np.asarray(fres)
+
+    # LRES payload: per channel, predictor bytes then deltas in wire order.
+    order = _stream_order(rows, cols)
+    lres_parts = []
+    for chan in range(c):
+        pred_bytes = ((pred_ids[chan].reshape(-1) - 2) & 0xFF).astype(np.uint8)
+        deltas = delta_grids[chan].reshape(-1)[order]
+        lres_parts.append(pred_bytes)
+        lres_parts.append(deltas)
+    lres_payload = np.concatenate(lres_parts)
+
+    writer = RIFFWriter()
+    writer.add_chunk("FRMT", FormatHeader(w, h, c, use_ycbcr).serialize())
+    writer.add_chunk("LMAP", lr_mapper.serialize())
+    writer.add_chunk("LRES", bitpack.compress(lres_payload, 0))
+    writer.add_chunk("QCFG", tables.pack_quant_config(
+        luma_shift, chroma_shift if use_ycbcr else None))
+    writer.add_chunk("FMAP", fr_mapper.serialize())
+    writer.add_chunk("FRES", bitpack.compress(
+        fres.reshape(-1), cols * c * 64))
+    return writer.tobytes()

@@ -1,0 +1,92 @@
+"""Entropy layer conformance vs the reference oracle + self roundtrips."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from himg_tpu.entropy import bitpack, rle
+from himg_tpu.entropy.huffman import build_code, parse_tree
+
+CASES = [
+    # (size, block_size, zero_fraction)
+    (4096, 0, 0.5),
+    (4096, 512, 0.5),
+    (8192, 1024, 0.9),
+    (4096, 4096, 0.2),
+    (32768, 512, 0.95),
+    (100000, 0, 0.99),
+    (256, 0, 1.0),          # all zeros
+    (70000, 0, 0.999),      # long runs incl. >16662 splits
+    (640, 64, 0.97),        # many tiny blocks
+]
+
+
+def _data(n, zero_frac, seed=0):
+    rng = np.random.default_rng(seed)
+    return np.where(rng.random(n) < zero_frac, 0,
+                    rng.integers(0, 256, n)).astype(np.uint8)
+
+
+@pytest.mark.parametrize("n,bs,zf", CASES)
+def test_compress_matches_reference(oracle_dir, tmp_path, n, bs, zf):
+    data = _data(n, zf)
+    raw = tmp_path / "in.raw"
+    out = tmp_path / "ref.bin"
+    data.tofile(raw)
+    subprocess.run([str(oracle_dir / "oracle_huff"), "enc", str(raw),
+                    str(bs), str(out)], check=True)
+    assert bitpack.compress(data, bs) == out.read_bytes()
+
+
+@pytest.mark.parametrize("n,bs,zf", CASES)
+def test_roundtrip(n, bs, zf):
+    data = _data(n, zf, seed=1)
+    comp = bitpack.compress(data, bs)
+    dec = bitpack.decompress(comp, n, bs if 0 < bs < n else 0)
+    assert np.array_equal(dec, data)
+
+
+@pytest.mark.parametrize("n,bs,zf", [(4096, 512, 0.5), (8192, 1024, 0.95)])
+def test_decode_reference_output(oracle_dir, tmp_path, n, bs, zf):
+    data = _data(n, zf, seed=2)
+    raw = tmp_path / "in.raw"
+    out = tmp_path / "ref.bin"
+    data.tofile(raw)
+    subprocess.run([str(oracle_dir / "oracle_huff"), "enc", str(raw),
+                    str(bs), str(out)], check=True)
+    dec = bitpack.decompress(out.read_bytes(), n, bs if 0 < bs < n else 0)
+    assert np.array_equal(dec, data)
+
+
+def test_tree_roundtrip():
+    hist = np.zeros(261, dtype=np.int64)
+    hist[[0, 17, 255, 256, 260]] = [100, 5, 1, 50, 7]
+    code = build_code(hist)
+    tree_bytes, _ = bitpack._bits_to_bytes(code.tree_bits)
+    codes, bits, _ = parse_tree(bytes(tree_bytes))
+    assert np.array_equal(codes, code.codes)
+    assert np.array_equal(bits, code.bits)
+
+
+def test_rle_tokens_cover_input():
+    data = _data(2048, 0.9, seed=3).reshape(4, 512)
+    sym, extra, ebits, counts = rle.tokenize_rows(data)
+    # Reconstruct lengths: literals contribute 1, run symbols their span.
+    spans = {256: 2, 257: 3, 258: 7, 259: 23, 260: 279}
+    for r in range(4):
+        total = 0
+        for t in range(counts[r]):
+            s = sym[r, t]
+            total += spans[int(s)] + int(extra[r, t]) if s >= 256 else 1
+        assert total == 512
+
+
+def test_corrupt_stream_raises():
+    data = _data(4096, 0.5, seed=4)
+    comp = bytearray(bitpack.compress(data, 0))
+    with pytest.raises(ValueError):
+        bitpack.decompress(bytes(comp[:10]), 4096, 0)
+    comp2 = bytes(comp[:-10])
+    with pytest.raises(ValueError):
+        bitpack.decompress(comp2, 4096, 0)

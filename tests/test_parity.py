@@ -1,0 +1,96 @@
+"""End-to-end bitstream conformance vs the reference chimg/dhimg pipeline.
+
+Policy on known reference bugs (SURVEY.md section 4.3):
+
+- decode comparisons use width % 8 == 0 (the reference's
+  RestoreChannelBlock slow path mis-addresses right-edge blocks);
+- when the reference decoder rejects a well-compressing file (its
+  HuffmanDec compares block_size against the *compressed* size), the
+  oracle returns None and we assert only our own roundtrip.
+"""
+
+import numpy as np
+import pytest
+
+import himg_tpu
+
+from util import make_image, oracle_decode, oracle_encode, psnr
+
+CONFIGS = [
+    # (h, w, c, quality, use_ycbcr)
+    (64, 64, 1, 50, False),
+    (128, 64, 3, 50, True),
+    (64, 128, 3, 75, True),
+    (64, 64, 4, 90, True),
+    (64, 64, 3, 30, False),
+    (40, 48, 1, 10, False),
+    (24, 120, 3, 95, True),
+]
+
+
+@pytest.mark.parametrize("h,w,c,q,ycbcr", CONFIGS)
+def test_encode_byte_identical(oracle_dir, tmp_path, h, w, c, q, ycbcr):
+    img = make_image(h, w, c)
+    ref = oracle_encode(oracle_dir, img, q, ycbcr, tmp_path)
+    assert himg_tpu.encode(img, q, ycbcr) == ref
+
+
+@pytest.mark.parametrize("h,w,c,q,ycbcr", CONFIGS)
+def test_decode_matches_reference(oracle_dir, tmp_path, h, w, c, q, ycbcr):
+    img = make_image(h, w, c)
+    ref_bytes = oracle_encode(oracle_dir, img, q, ycbcr, tmp_path)
+    mine = himg_tpu.decode(ref_bytes)
+    ref_img = oracle_decode(oracle_dir, ref_bytes, tmp_path)
+    if ref_img is None:
+        # Reference decoder bug on well-compressed files; check quality only.
+        assert psnr(mine, img) > 18
+        return
+    assert np.array_equal(mine, ref_img)
+
+
+def test_odd_sizes_roundtrip():
+    # Non-multiple-of-8 sizes: encode parity holds (checked above for
+    # h=40); decoding our own stream must reproduce exact dimensions.
+    for (h, w) in [(17, 23), (8, 9), (33, 64)]:
+        img = make_image(h, w, 3)
+        data = himg_tpu.encode(img, 60, True)
+        out = himg_tpu.decode(data)
+        assert out.shape == (h, w, 3)
+        assert psnr(out, img) > 20
+
+
+def test_psnr_monotone_in_quality():
+    img = make_image(64, 64, 3, noise=10)
+    scores = []
+    sizes = []
+    for q in [10, 30, 50, 70, 90]:
+        data = himg_tpu.encode(img, q, True)
+        out = himg_tpu.decode(data)
+        scores.append(psnr(out, img))
+        sizes.append(len(data))
+    assert all(b >= a - 0.3 for a, b in zip(scores, scores[1:])), scores
+    assert all(b >= a for a, b in zip(sizes, sizes[1:])), sizes
+
+
+def test_decode_rejects_garbage():
+    with pytest.raises(himg_tpu.FormatError):
+        himg_tpu.decode(b"not a riff file at all")
+    img = make_image(16, 16, 1)
+    data = bytearray(himg_tpu.encode(img, 50, False))
+    data[4] ^= 0xFF  # corrupt RIFF size
+    with pytest.raises(himg_tpu.FormatError):
+        himg_tpu.decode(bytes(data))
+
+
+def test_unknown_chunks_are_skipped():
+    img = make_image(16, 16, 1)
+    data = himg_tpu.encode(img, 50, False)
+    # Splice an unknown chunk between FRMT and LMAP.
+    import struct
+    frmt_end = 12 + 8 + 11
+    extra = b"XTRA" + struct.pack("<I", 3) + b"abc"
+    spliced = bytearray(data[:frmt_end] + extra + data[frmt_end:])
+    new_size = len(spliced) - 8
+    spliced[4:8] = struct.pack("<I", new_size)
+    out = himg_tpu.decode(bytes(spliced))
+    assert np.array_equal(out, himg_tpu.decode(data))
