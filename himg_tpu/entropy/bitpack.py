@@ -87,37 +87,47 @@ def assemble_stream(code: HuffmanCode, payloads: np.ndarray, sizes: np.ndarray,
 
     n_blocks = len(sizes)
     # Scratch-buffer simulation: only final-byte high bits can leak, so we
-    # track one byte per possible byte index (lazily, via a dict).
-    scratch: dict[int, int] = {}
+    # track the byte the *next* block's final byte would land on.
+    max_ps = int(sizes.max()) if n_blocks else 0
+    scratch = np.zeros(max_ps + 1, dtype=np.uint8)
     for b in range(n_blocks):
         ps = int(sizes[b])
         tb = int(total_bits[b])
-        payload = bytearray(payloads[b, :ps].tobytes())
+        payload = payloads[b, :ps].copy()
         rem = tb & 7
         if ps > 0 and rem:
             # Merge stale high bits of the final byte from the scratch state.
             mask = (1 << rem) - 1
-            stale = scratch.get(ps - 1, 0)
-            payload[ps - 1] = (payload[ps - 1] & mask) | (stale & ~mask & 0xFF)
-        # Update scratch: bytes [0, ps) now hold this block's merged bytes.
-        for i, v in enumerate(payload):
-            scratch[i] = v
+            payload[ps - 1] = (int(payload[ps - 1]) & mask) | \
+                (int(scratch[ps - 1]) & (~mask & 0xFF))
+        # Bytes [0, ps) of the scratch now hold this block's merged bytes.
+        scratch[:ps] = payload
         if use_blocks:
             if ps <= 0x7FFF:
                 out += ps.to_bytes(2, "little")
             else:
                 out += ((ps & 0x7FFF) | 0x8000).to_bytes(2, "little")
                 out += (ps >> 15).to_bytes(2, "little")
-        out += payload
+        out += payload.tobytes()
     return bytes(out)
 
 
 def compress(data: np.ndarray, block_size: int) -> bytes:
     """Full reference-parity Huffman compression of a byte buffer.
 
-    Equivalent to HuffmanEnc::Compress(out, data, len, block_size)
-    (huffman_enc.cpp:246-363).  `block_size=0` means one single stream.
+    Dispatches to the native C++ backend when available (byte-identical);
+    the NumPy implementation below is the readable spec + fallback.
+    `block_size=0` means one single stream.
     """
+    from . import native
+    if native.available():
+        return native.compress(data, block_size)
+    return compress_py(data, block_size)
+
+
+def compress_py(data: np.ndarray, block_size: int) -> bytes:
+    """NumPy reference implementation of compress
+    (HuffmanEnc::Compress, huffman_enc.cpp:246-363)."""
     from . import rle
     from .huffman import build_code
 
@@ -175,11 +185,21 @@ def _build_decode_table(codes: np.ndarray, bits: np.ndarray):
 
 
 def decompress(data: bytes, out_size: int, block_size: int) -> np.ndarray:
-    """Reference-parity Huffman decompression (host fallback, slow).
+    """Reference-parity Huffman decompression.
 
-    Equivalent to HuffmanDec Init + Uncompress/UncompressBlock over all
-    blocks (huffman_dec.cpp:221-418).  Raises ValueError on corrupt input.
+    Dispatches to the native threaded C++ backend when available; the
+    Python implementation below is the readable spec + fallback.  Raises
+    ValueError on corrupt input.
     """
+    from . import native
+    if native.available():
+        return native.decompress(data, out_size, block_size)
+    return decompress_py(data, out_size, block_size)
+
+
+def decompress_py(data: bytes, out_size: int, block_size: int) -> np.ndarray:
+    """Python reference implementation of decompress (HuffmanDec Init +
+    Uncompress/UncompressBlock, huffman_dec.cpp:221-418)."""
     from .huffman import parse_tree, SYM_TWO_ZEROS, SYM_UPTO6_ZEROS, \
         SYM_UPTO22_ZEROS, SYM_UPTO278_ZEROS, SYM_UPTO16662_ZEROS
 

@@ -304,6 +304,29 @@ class MappingTable:
             self._map_lut = res.astype(np.uint8)
         return self._map_lut
 
+    @property
+    def pack_thresholds(self) -> np.ndarray:
+        """int32[127]: magnitude step boundaries of the MapTo8Bit function.
+
+        MapTo8Bit's output index is a nondecreasing step function of |x|
+        (the curve is increasing), so the index equals the number of
+        thresholds <= |x|.  thresholds[k-1] is the smallest magnitude that
+        maps to index >= k; unreachable indices get a sentinel above the
+        int16 range.  Derived from the exhaustive LUT, hence exactly
+        replicates every tie/edge rule; used by the TPU pack kernel as a
+        gather-free 127-comparison reduction.
+        """
+        idx_of_m = self.map_lut[32768:].astype(np.int32)  # x >= 0 side
+        th = np.full(127, 1 << 30, dtype=np.int32)
+        # reverse cumulative min of first-occurrence positions
+        first = np.full(128, 1 << 30, dtype=np.int64)
+        vals, pos = np.unique(idx_of_m, return_index=True)
+        first[vals] = pos
+        for k in range(126, -1, -1):
+            first[k] = min(first[k], first[k + 1])
+        th[:] = np.minimum(first[1:], 1 << 30)
+        return th
+
     def map_values(self, x: np.ndarray) -> np.ndarray:
         """Vectorized MapTo8Bit over an int16 array."""
         return self.map_lut[x.astype(np.int16).astype(np.int32) + 32768]

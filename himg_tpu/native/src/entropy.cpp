@@ -1,0 +1,488 @@
+// himg_tpu native entropy codec: HIMG-format Huffman + zero-RLE.
+//
+// A from-scratch C++17 implementation of the HIMG entropy stage used as the
+// fast host-side backend (the TPU path lives in himg_tpu/entropy's JAX
+// code; the Python path in entropy/bitpack.py is the readable spec).
+//
+// Format contract (reference: src/lib/huffman_enc.cpp / huffman_dec.cpp of
+// mbitsnbites/himg):
+//   * 261 symbols: 256 literals + 5 zero-run symbols with 0/2/4/8/14 extra
+//     bits covering runs 2 / 3-6 / 7-22 / 23-278 / 279-16662.
+//   * Tree serialized as a prefix walk: 1 leaf bit (+9-bit symbol at
+//     leaves), then byte padding; greedy two-lightest merge where equal
+//     counts prefer the latest-scanned node, parents appended to the scan
+//     order (huffman_enc.cpp:202-236) -- replicated exactly for byte
+//     parity.
+//   * LSB-first bit packing; per-block byte-aligned substreams prefixed by
+//     a 15-bit length with a 17-bit continuation (huffman_enc.cpp:342-352).
+//   * Byte-parity quirk: the reference serializes each block through a
+//     reused scratch buffer, so unused high bits of a block's final byte
+//     leak bytes of earlier blocks; we reproduce that merge.
+//
+// Unlike the reference's per-bit loops this implementation uses a 64-bit
+// accumulator writer and a 64-bit refill reader, and decodes with a
+// 16-bit-peek two-level table (direct entries for codes <= 8 bits, tree
+// walk beyond).  Decompression is multithreaded over substreams.
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int kNumSymbols = 261;
+constexpr int kSymbolBits = 9;
+constexpr int kMaxNodes = kNumSymbols * 2 - 1;
+constexpr int kMaxRun = 16662;
+
+// Zero-run classes: {first run length, extra bits}.
+struct RunClass { int base; int extra_bits; };
+constexpr RunClass kRunClasses[5] = {{2, 0}, {3, 2}, {7, 4}, {23, 8}, {279, 14}};
+
+inline int RunSymbol(int zeros, uint32_t *extra, int *extra_bits) {
+  if (zeros == 1) { *extra = 0; *extra_bits = 0; return 0; }
+  if (zeros == 2) { *extra = 0; *extra_bits = 0; return 256; }
+  int cls = zeros <= 6 ? 1 : zeros <= 22 ? 2 : zeros <= 278 ? 3 : 4;
+  *extra = static_cast<uint32_t>(zeros - kRunClasses[cls].base);
+  *extra_bits = kRunClasses[cls].extra_bits;
+  return 256 + cls;
+}
+
+// --------------------------------------------------------------------------
+// Bit IO
+// --------------------------------------------------------------------------
+
+// LSB-first writer with a 64-bit accumulator.  Whole bytes overwrite the
+// destination; a trailing partial byte is merged bit-wise so pre-existing
+// buffer content survives in the unused high bits (the parity quirk).
+class BitWriter {
+ public:
+  explicit BitWriter(uint8_t *buf) : buf_(buf) {}
+
+  inline void Put(uint32_t value, int bits) {
+    acc_ |= static_cast<uint64_t>(value & ((1ull << bits) - 1)) << fill_;
+    fill_ += bits;
+    while (fill_ >= 8) {
+      buf_[pos_++] = static_cast<uint8_t>(acc_);
+      acc_ >>= 8;
+      fill_ -= 8;
+    }
+  }
+
+  // Flush a trailing partial byte, merging with existing buffer content.
+  void FlushPartial() {
+    if (fill_ > 0) {
+      uint8_t mask = static_cast<uint8_t>((1u << fill_) - 1);
+      buf_[pos_] = static_cast<uint8_t>((buf_[pos_] & ~mask) | (acc_ & mask));
+    }
+  }
+
+  int64_t bit_count() const { return pos_ * 8 + fill_; }
+  int64_t byte_count() const { return pos_ + (fill_ ? 1 : 0); }
+
+ private:
+  uint8_t *buf_;
+  int64_t pos_ = 0;
+  uint64_t acc_ = 0;
+  int fill_ = 0;
+};
+
+// LSB-first reader with bounds tracking; reads past the end yield zeros and
+// set a fail flag once consumed.
+class BitReader {
+ public:
+  BitReader(const uint8_t *buf, int64_t size) : buf_(buf), size_(size) {}
+
+  inline uint32_t Read(int bits) {
+    Refill();
+    uint32_t v = static_cast<uint32_t>(acc_) & ((1u << bits) - 1);
+    acc_ >>= bits;
+    fill_ -= bits;
+    consumed_ += bits;
+    return v;
+  }
+
+  inline uint32_t Peek16() {
+    Refill();
+    return static_cast<uint32_t>(acc_) & 0xFFFF;
+  }
+
+  inline void Skip(int bits) {
+    Refill();
+    acc_ >>= bits;
+    fill_ -= bits;
+    consumed_ += bits;
+  }
+
+  bool overrun() const { return consumed_ > size_ * 8; }
+  int64_t consumed_bits() const { return consumed_; }
+
+ private:
+  inline void Refill() {
+    while (fill_ <= 56) {
+      uint8_t b = pos_ < size_ ? buf_[pos_] : 0;
+      acc_ |= static_cast<uint64_t>(b) << fill_;
+      ++pos_;
+      fill_ += 8;
+    }
+  }
+
+  const uint8_t *buf_;
+  int64_t size_;
+  int64_t pos_ = 0;
+  uint64_t acc_ = 0;
+  int fill_ = 0;
+  int64_t consumed_ = 0;
+};
+
+// --------------------------------------------------------------------------
+// Code construction (encode side)
+// --------------------------------------------------------------------------
+
+struct TreeNode {
+  int64_t count;
+  int symbol;    // -1 for internal
+  int child_a, child_b;
+};
+
+struct CodeTable {
+  uint32_t code[kNumSymbols];
+  int8_t bits[kNumSymbols];
+};
+
+// Greedy merge with the reference's exact tie-breaking; returns root index
+// or -1 when <= 1 distinct symbol.
+int BuildTree(const int64_t *hist, std::vector<TreeNode> *nodes) {
+  nodes->clear();
+  for (int s = 0; s < kNumSymbols; ++s)
+    if (hist[s] > 0) nodes->push_back({hist[s], s, -1, -1});
+  int live = static_cast<int>(nodes->size());
+  int root = -1;
+  while (live > 1) {
+    int n1 = -1, n2 = -1;
+    for (int k = 0; k < static_cast<int>(nodes->size()); ++k) {
+      int64_t c = (*nodes)[k].count;
+      if (c > 0) {
+        if (n1 < 0 || c <= (*nodes)[n1].count) { n2 = n1; n1 = k; }
+        else if (n2 < 0 || c <= (*nodes)[n2].count) { n2 = k; }
+      }
+    }
+    TreeNode parent{(*nodes)[n1].count + (*nodes)[n2].count, -1, n1, n2};
+    (*nodes)[n1].count = 0;
+    (*nodes)[n2].count = 0;
+    root = static_cast<int>(nodes->size());
+    nodes->push_back(parent);
+    --live;
+  }
+  return root;
+}
+
+// Serialize the tree as a prefix walk and assign codes (explicit stack).
+void StoreTree(const std::vector<TreeNode> &nodes, int root, int root_bits,
+               BitWriter *w, CodeTable *table) {
+  struct Item { int node; uint32_t code; int bits; };
+  std::vector<Item> stack;
+  stack.push_back({root, 0, root_bits});
+  while (!stack.empty()) {
+    Item it = stack.back();
+    stack.pop_back();
+    const TreeNode &n = nodes[it.node];
+    if (n.symbol >= 0) {
+      w->Put(1, 1);
+      w->Put(static_cast<uint32_t>(n.symbol), kSymbolBits);
+      table->code[n.symbol] = it.code;
+      table->bits[n.symbol] = static_cast<int8_t>(it.bits);
+    } else {
+      w->Put(0, 1);
+      // LIFO: push B first so A is walked first (reference order).
+      stack.push_back({n.child_b, it.code | (1u << it.bits), it.bits + 1});
+      stack.push_back({n.child_a, it.code, it.bits + 1});
+    }
+  }
+}
+
+// --------------------------------------------------------------------------
+// Decode table
+// --------------------------------------------------------------------------
+
+struct DecodeNode {
+  int16_t symbol;          // -1 internal
+  int16_t child_a, child_b;
+};
+
+struct LutEntry {
+  int16_t symbol;          // direct symbol when node < 0
+  int16_t node;            // >= 0: tree node to continue from
+  int8_t bits;
+};
+
+struct Decoder {
+  DecodeNode nodes[kMaxNodes];
+  LutEntry lut[256];
+  int node_count = 0;
+  int root = -1;
+  int single_leaf_bits = 0;  // 1 when the tree is a lone leaf
+};
+
+int RecoverTree(BitReader *r, Decoder *d, uint32_t code, int bits) {
+  if (d->node_count >= kMaxNodes - 1) return -1;
+  int me = d->node_count++;
+  DecodeNode &n = d->nodes[me];
+  n.symbol = -1;
+  n.child_a = n.child_b = -1;
+  if (r->overrun()) return -1;
+  if (r->Read(1)) {
+    uint32_t sym = r->Read(kSymbolBits);
+    if (r->overrun() || sym >= kNumSymbols) return -1;
+    n.symbol = static_cast<int16_t>(sym);
+    if (bits <= 8) {
+      int dups = 256 >> bits;
+      for (int i = 0; i < dups; ++i) {
+        LutEntry &e = d->lut[(i << bits) | code];
+        e.symbol = n.symbol;
+        e.node = -1;
+        e.bits = static_cast<int8_t>(bits);
+      }
+    }
+    return me;
+  }
+  if (bits == 8) {
+    LutEntry &e = d->lut[code];
+    e.symbol = 0;
+    e.node = static_cast<int16_t>(me);
+    e.bits = 8;
+  }
+  int a = RecoverTree(r, d, code, bits + 1);
+  if (a < 0) return -1;
+  d->nodes[me].child_a = static_cast<int16_t>(a);
+  int b = RecoverTree(r, d, code | (1u << bits), bits + 1);
+  if (b < 0) return -1;
+  d->nodes[me].child_b = static_cast<int16_t>(b);
+  return me;
+}
+
+// Decode one substream into out[0..out_size).  Returns false on corrupt
+// data (bad symbol, output overrun, or bit-source exhaustion).
+bool DecodeStream(const Decoder &d, const uint8_t *in, int64_t in_size,
+                  uint8_t *out, int64_t out_size) {
+  BitReader r(in, in_size);
+  int64_t filled = 0;
+  const bool lone_leaf = d.nodes[d.root].symbol >= 0;
+  while (filled < out_size) {
+    int symbol;
+    if (lone_leaf) {
+      // Degenerate tree: the encoder spends 1 zero-bit per token.
+      r.Skip(1);
+      symbol = d.nodes[d.root].symbol;
+    } else {
+      uint32_t peek = r.Peek16();
+      const LutEntry &e = d.lut[peek & 0xFF];
+      if (e.node < 0) {
+        r.Skip(e.bits);
+        symbol = e.symbol;
+      } else {
+        r.Skip(8);
+        int node = e.node;
+        while (d.nodes[node].symbol < 0) {
+          node = r.Read(1) ? d.nodes[node].child_b : d.nodes[node].child_a;
+          if (r.overrun()) return false;
+        }
+        symbol = d.nodes[node].symbol;
+      }
+    }
+    if (r.overrun()) return false;
+    if (symbol <= 255) {
+      out[filled++] = static_cast<uint8_t>(symbol);
+    } else {
+      int64_t zeros;
+      switch (symbol) {
+        case 256: zeros = 2; break;
+        case 257: zeros = r.Read(2) + 3; break;
+        case 258: zeros = r.Read(4) + 7; break;
+        case 259: zeros = r.Read(8) + 23; break;
+        case 260: zeros = r.Read(14) + 279; break;
+        default: return false;
+      }
+      if (r.overrun() || filled + zeros > out_size) return false;
+      std::memset(out + filled, 0, static_cast<size_t>(zeros));
+      filled += zeros;
+    }
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Upper bound on compressed size for buffer allocation: payload can expand
+// (worst-case code ~32 bits/byte) plus tree + per-block prefixes.
+int64_t he_max_compressed_size(int64_t in_size, int64_t block_size) {
+  if (block_size < 1) block_size = in_size > 0 ? in_size : 1;
+  int64_t n_blocks = block_size > 0 ? (in_size + block_size - 1) / block_size : 0;
+  return 8 * in_size + 64 * n_blocks + 1024;
+}
+
+// Compress `in[0..in_size)` with per-block substreams of `block_size`
+// uncompressed bytes (0 = single stream).  Returns compressed size, or -1
+// on error (bad args / out_cap too small).  Byte-identical to the
+// reference encoder.
+int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
+                    uint8_t *out, int64_t out_cap) {
+  if (in_size < 1) return 0;
+  if (block_size < 1) block_size = in_size;
+  const bool use_blocks = block_size < in_size;
+  if (in_size % block_size != 0) return -1;
+  if (out_cap < he_max_compressed_size(in_size, block_size)) return -1;
+
+  // Histogram with RLE tokenization (runs never cross block borders).
+  int64_t hist[kNumSymbols] = {0};
+  for (int64_t base = 0; base < in_size; base += block_size) {
+    const uint8_t *blk = in + base;
+    for (int64_t k = 0; k < block_size;) {
+      if (blk[k] == 0) {
+        int64_t z = 1;
+        while (z < kMaxRun && k + z < block_size && blk[k + z] == 0) ++z;
+        uint32_t extra;
+        int ebits;
+        hist[RunSymbol(static_cast<int>(z), &extra, &ebits)]++;
+        k += z;
+      } else {
+        hist[blk[k]]++;
+        ++k;
+      }
+    }
+  }
+
+  // Only the tree header region needs zeroing (its partial final byte
+  // merges with existing content, which the reference guarantees to be
+  // zero); every payload byte is fully overwritten.
+  constexpr int64_t kMaxTreeBytes = ((2 + kSymbolBits) * kNumSymbols + 7) / 8;
+  std::memset(out, 0, static_cast<size_t>(
+      std::min<int64_t>(out_cap, kMaxTreeBytes + 16)));
+  BitWriter head(out);
+  std::vector<TreeNode> nodes;
+  int root = BuildTree(hist, &nodes);
+  CodeTable table;
+  std::memset(table.bits, 0, sizeof(table.bits));
+  if (root >= 0) {
+    StoreTree(nodes, root, 0, &head, &table);
+  } else if (!nodes.empty()) {
+    StoreTree(nodes, 0, 1, &head, &table);  // single-symbol special case
+  }
+  head.FlushPartial();
+  int64_t out_pos = head.byte_count();
+
+  // Per-block payloads through a persistent scratch buffer (parity quirk:
+  // the final partial byte inherits stale bits from earlier blocks).
+  std::vector<uint8_t> scratch(
+      static_cast<size_t>(8 * block_size + 64), 0);
+  for (int64_t base = 0; base < in_size; base += block_size) {
+    const uint8_t *blk = in + base;
+    BitWriter w(scratch.data());
+    for (int64_t k = 0; k < block_size;) {
+      uint8_t v = blk[k];
+      if (v == 0) {
+        int64_t z = 1;
+        while (z < kMaxRun && k + z < block_size && blk[k + z] == 0) ++z;
+        uint32_t extra;
+        int ebits;
+        int sym = RunSymbol(static_cast<int>(z), &extra, &ebits);
+        w.Put(table.code[sym], table.bits[sym]);
+        if (ebits) w.Put(extra, ebits);
+        k += z;
+      } else {
+        w.Put(table.code[v], table.bits[v]);
+        ++k;
+      }
+    }
+    w.FlushPartial();
+    int64_t packed = w.byte_count();
+    if (use_blocks) {
+      if (packed <= 0x7FFF) {
+        out[out_pos++] = static_cast<uint8_t>(packed);
+        out[out_pos++] = static_cast<uint8_t>(packed >> 8);
+      } else {
+        uint32_t lo = static_cast<uint32_t>((packed & 0x7FFF) | 0x8000);
+        uint32_t hi = static_cast<uint32_t>(packed >> 15);
+        out[out_pos++] = static_cast<uint8_t>(lo);
+        out[out_pos++] = static_cast<uint8_t>(lo >> 8);
+        out[out_pos++] = static_cast<uint8_t>(hi);
+        out[out_pos++] = static_cast<uint8_t>(hi >> 8);
+      }
+    }
+    std::memcpy(out + out_pos, scratch.data(), static_cast<size_t>(packed));
+    out_pos += packed;
+  }
+  return out_pos;
+}
+
+// Decompress into out[0..out_size).  block_size is the *uncompressed*
+// bytes per substream (0 = single stream).  Returns 0 on success, negative
+// error codes otherwise.  Decoding is threaded over substreams.
+int32_t he_decompress(const uint8_t *in, int64_t in_size, int64_t block_size,
+                      uint8_t *out, int64_t out_size, int32_t n_threads) {
+  if (out_size == 0) return 0;
+  if (in_size < 1) return -1;
+  if (block_size < 1) block_size = out_size;
+  const bool use_blocks = block_size < out_size;
+  if (out_size % block_size != 0) return -2;
+
+  Decoder dec;
+  BitReader tree_reader(in, in_size);
+  dec.root = RecoverTree(&tree_reader, &dec, 0, 0);
+  if (dec.root < 0) return -3;
+  int64_t tree_bytes = (tree_reader.consumed_bits() + 7) / 8;
+
+  if (!use_blocks) {
+    return DecodeStream(dec, in + tree_bytes, in_size - tree_bytes, out,
+                        out_size) ? 0 : -4;
+  }
+
+  // Substream directory.
+  int64_t n_blocks = out_size / block_size;
+  std::vector<std::pair<int64_t, int64_t>> spans;  // (offset, size)
+  spans.reserve(static_cast<size_t>(n_blocks));
+  int64_t cursor = tree_bytes;
+  for (int64_t b = 0; b < n_blocks; ++b) {
+    if (cursor + 2 > in_size) return -5;
+    int64_t ps = in[cursor] | (in[cursor + 1] << 8);
+    cursor += 2;
+    if (ps & 0x8000) {
+      if (cursor + 2 > in_size) return -5;
+      ps = (ps & 0x7FFF) |
+           (static_cast<int64_t>(in[cursor] | (in[cursor + 1] << 8)) << 15);
+      cursor += 2;
+    }
+    if (cursor + ps > in_size) return -5;
+    spans.emplace_back(cursor, ps);
+    cursor += ps;
+  }
+
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  if (n_threads <= 0) n_threads = hw > 0 ? hw : 1;
+  n_threads = static_cast<int32_t>(
+      std::min<int64_t>(n_threads, n_blocks));
+
+  std::atomic<int64_t> next(0);
+  std::atomic<bool> ok(true);
+  auto worker = [&]() {
+    while (ok.load(std::memory_order_relaxed)) {
+      int64_t b = next.fetch_add(1, std::memory_order_relaxed);
+      if (b >= n_blocks) break;
+      if (!DecodeStream(dec, in + spans[b].first, spans[b].second,
+                        out + b * block_size, block_size))
+        ok.store(false, std::memory_order_relaxed);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads - 1; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto &t : threads) t.join();
+  return ok.load() ? 0 : -4;
+}
+
+}  // extern "C"

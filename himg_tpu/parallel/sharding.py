@@ -96,7 +96,7 @@ def _sample_rows_sharded(plane, h: int, row_start: int):
     return ((prev_rows + 15 * a + 8) >> 4).astype(jnp.uint8)
 
 
-def _encode_shard_body(img, shift_tables, fr_map_lut, lr_map_small, lr_unmap,
+def _encode_shard_body(img, shift_tables, fr_thresholds, lr_map_small, lr_unmap,
                        *, h: int, use_ycbcr: bool):
     """shard_map body: [hL, W, C] slab -> local planes + replicated low-res.
 
@@ -136,7 +136,7 @@ def _encode_shard_body(img, shift_tables, fr_map_lut, lr_map_small, lr_unmap,
     blk = jax.vmap(blockops.to_blocks)(padded).astype(jnp.int16)
     coeffs = hadamard.forward(blk - pred_blocks)
     flat = coeffs.reshape(*coeffs.shape[:-2], 64)
-    packed = quantize.pack(flat, shift_tables[:, None, None, :], fr_map_lut)
+    packed = quantize.pack(flat, shift_tables[:, None, None, :], fr_thresholds)
     inter = jax.vmap(blockops.interleave_coefficients)(packed)
     return jnp.moveaxis(inter, 0, 1), pred_ids, delta_grids
 
@@ -147,7 +147,7 @@ def build_sharded_encode(mesh: Mesh, h: int, w: int, c: int,
 
     B is sharded over mesh axis "batch", H over "rows" (H/n_rows must be a
     multiple of 8; use pad_to_blocks first for odd sizes).  Returns a
-    function (imgs, shift_tables, fr_map_lut, lr_map_small, lr_unmap) ->
+    function (imgs, shift_tables, fr_thresholds, lr_map_small, lr_unmap) ->
     (fres [B, rows, C, 64, cols], pred_ids [B, C, MR, MC],
      delta_grids [B, C, R, Cc]).
     """
@@ -169,7 +169,7 @@ def build_sharded_encode(mesh: Mesh, h: int, w: int, c: int,
     return jax.jit(inner)
 
 
-def _decode_shard_body(fres_local, grids, shift_tables, fr_unmap,
+def _decode_shard_body(fres_local, grids, shift_tables, fr_pos_curve,
                        *, use_ycbcr: bool):
     """shard_map body: local interleaved planes -> local pixel slab."""
     axis = "rows"
@@ -179,7 +179,7 @@ def _decode_shard_body(fres_local, grids, shift_tables, fr_unmap,
 
     planes = jnp.moveaxis(fres_local, 1, 0)            # [C, rL, 64, cols]
     packed = jax.vmap(blockops.deinterleave_coefficients)(planes)
-    coeffs = quantize.unpack(packed, shift_tables[:, None, None, :], fr_unmap)
+    coeffs = quantize.unpack(packed, shift_tables[:, None, None, :], fr_pos_curve)
     blk = hadamard.inverse(coeffs.reshape(*coeffs.shape[:-1], 8, 8))
     pred_full = jax.vmap(lowres.upsample)(grids)
     pred_blocks = jax.lax.dynamic_slice_in_dim(pred_full, v0, rl, 1)
@@ -198,7 +198,7 @@ def build_sharded_decode(mesh: Mesh, h: int, w: int, c: int,
 
     (fres [B, rows, C, 64, cols] sharded (batch, rows),
      delta_grids [B, C, R, Cc], pred_ids [B, C, MR*MC], shift_tables,
-     fr_unmap, lr_unmap) -> [B, H8, W8, C] sharded (batch, rows).
+     fr_pos_curve, lr_unmap) -> [B, H8, W8, C] sharded (batch, rows).
 
     The low-res delta integration runs replicated (it is 1/64 of the data
     and crosses shard rows); the heavy per-block stages stay local.
@@ -214,11 +214,11 @@ def build_sharded_decode(mesh: Mesh, h: int, w: int, c: int,
 
     body = partial(_decode_shard_body, use_ycbcr=use_ycbcr)
 
-    def shard_fn(fres, delta_grids, pred_ids, shift_tables, fr_unmap,
+    def shard_fn(fres, delta_grids, pred_ids, shift_tables, fr_pos_curve,
                  lr_unmap):
         def one(fres_b, dg_b, pi_b):
             grids = replicated_lowres(dg_b, pi_b, lr_unmap)
-            return body(fres_b, grids, shift_tables, fr_unmap)
+            return body(fres_b, grids, shift_tables, fr_pos_curve)
         return jax.vmap(one)(fres, delta_grids, pred_ids)
 
     inner = jax.shard_map(

@@ -24,7 +24,7 @@ from .encode import _stream_order
 
 
 @partial(jax.jit, static_argnames=("use_ycbcr",))
-def _decode_device(fres, delta_grids, pred_ids, shift_tables, fr_unmap,
+def _decode_device(fres, delta_grids, pred_ids, shift_tables, fr_pos_curve,
                    lr_unmap, use_ycbcr: bool):
     """Device-side decode.
 
@@ -41,7 +41,7 @@ def _decode_device(fres, delta_grids, pred_ids, shift_tables, fr_unmap,
 
     planes = jnp.moveaxis(fres, 1, 0)                    # [C, rows, 64, cols]
     packed = jax.vmap(blockops.deinterleave_coefficients)(planes)
-    coeffs = quantize.unpack(packed, shift_tables[:, None, None, :], fr_unmap)
+    coeffs = quantize.unpack(packed, shift_tables[:, None, None, :], fr_pos_curve)
     blk = hadamard.inverse(coeffs.reshape(*coeffs.shape[:-1], 8, 8))
     pred_blocks = jax.vmap(lowres.upsample)(grids)
     restored = blk.astype(jnp.int32) + pred_blocks.astype(jnp.int32)
@@ -107,6 +107,6 @@ def decode(data: bytes) -> np.ndarray:
 
     img = _decode_device(
         jnp.asarray(fres), jnp.asarray(delta_grids), jnp.asarray(pred_ids),
-        jnp.asarray(shift_tables), jnp.asarray(fr_mapper.unmap_lut),
+        jnp.asarray(shift_tables), jnp.asarray(fr_mapper.positive),
         jnp.asarray(lr_mapper.unmap_lut), has_chroma)
     return np.asarray(img)[:h, :w, :]

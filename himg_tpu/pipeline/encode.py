@@ -32,7 +32,7 @@ def _stream_order(rows: int, cols: int) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnames=("use_ycbcr",))
-def _encode_device(img, shift_tables, fr_map_lut, lr_map_small, lr_unmap,
+def _encode_device(img, shift_tables, fr_thresholds, lr_map_small, lr_unmap,
                    use_ycbcr: bool):
     """Device-side encode: [H, W, C] uint8 -> low-res + coefficient planes.
 
@@ -65,7 +65,7 @@ def _encode_device(img, shift_tables, fr_map_lut, lr_map_small, lr_unmap,
     diff = blk - pred_blocks
     coeffs = hadamard.forward(diff)                     # [C, rows, cols, 8, 8]
     flat = coeffs.reshape(*coeffs.shape[:-2], 64)
-    packed = quantize.pack(flat, shift_tables[:, None, None, :], fr_map_lut)
+    packed = quantize.pack(flat, shift_tables[:, None, None, :], fr_thresholds)
     inter = jax.vmap(blockops.interleave_coefficients)(packed)
     return pred_ids, delta_grids, jnp.moveaxis(inter, 0, 1)
 
@@ -94,7 +94,7 @@ def encode(image: np.ndarray, quality: int = 50, use_ycbcr: bool = True) -> byte
 
     pred_ids, delta_grids, fres = _encode_device(
         jnp.asarray(img), jnp.asarray(shift_tables),
-        jnp.asarray(fr_mapper.map_lut), jnp.asarray(lr_map_small),
+        jnp.asarray(fr_mapper.pack_thresholds), jnp.asarray(lr_map_small),
         jnp.asarray(lr_mapper.unmap_lut), use_ycbcr)
     pred_ids = np.asarray(pred_ids)
     delta_grids = np.asarray(delta_grids)

@@ -90,3 +90,43 @@ def test_corrupt_stream_raises():
     comp2 = bytes(comp[:-10])
     with pytest.raises(ValueError):
         bitpack.decompress(comp2, 4096, 0)
+
+
+def test_native_backend_parity():
+    """Native C++ codec must be byte-identical to the NumPy spec."""
+    from himg_tpu.entropy import native
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(11)
+    for (n, bs, zf) in [(4096, 512, 0.6), (8192, 0, 0.95), (256, 0, 1.0),
+                        (70000, 0, 0.999), (640, 64, 0.97)]:
+        data = np.where(rng.random(n) < zf, 0,
+                        rng.integers(0, 256, n)).astype(np.uint8)
+        assert native.compress(data, bs) == bitpack.compress_py(data, bs)
+        comp = native.compress(data, bs)
+        dec = native.decompress(comp, n, bs if 0 < bs < n else 0)
+        assert np.array_equal(dec, data)
+
+
+def test_native_rejects_corrupt():
+    from himg_tpu.entropy import native
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(12)
+    data = np.where(rng.random(4096) < 0.5, 0,
+                    rng.integers(0, 256, 4096)).astype(np.uint8)
+    comp = native.compress(data, 512)
+    with pytest.raises(ValueError):
+        native.decompress(comp[:16], 4096, 512)
+    with pytest.raises(ValueError):
+        native.decompress(comp[:-8], 4096, 512)
+    # fuzz: random flips must never crash
+    for seed in range(40):
+        r2 = np.random.default_rng(seed)
+        buf = bytearray(comp)
+        for _ in range(8):
+            buf[int(r2.integers(0, len(buf)))] = int(r2.integers(0, 256))
+        try:
+            native.decompress(bytes(buf), 4096, 512)
+        except ValueError:
+            pass

@@ -137,7 +137,7 @@ def test_quantize_pack_matches_scalar():
     shift, _ = tables.make_quantizer(50, False)
     coeffs = rng.integers(-16320, 16321, (16, 64)).astype(np.int16)
     got = np.asarray(quantize.pack(jnp.asarray(coeffs), jnp.asarray(shift),
-                                   jnp.asarray(frm.map_lut)))
+                                   jnp.asarray(frm.pack_thresholds)))
     for k in range(16):
         for i in range(64):
             s = int(shift[i])
@@ -154,7 +154,7 @@ def test_quantize_unpack_matches_scalar():
     shift, _ = tables.make_quantizer(50, False)
     data = rng.integers(0, 256, (16, 64)).astype(np.uint8)
     got = np.asarray(quantize.unpack(jnp.asarray(data), jnp.asarray(shift),
-                                     jnp.asarray(frm.unmap_lut)))
+                                     jnp.asarray(frm.positive)))
     for k in range(16):
         for i in range(64):
             v = np.array(int(frm.unmap_lut[data[k, i]]) << int(shift[i]),
@@ -213,3 +213,29 @@ def test_predictor_selection_first_wins_ties():
     pred = np.asarray(lowres.select_predictors(jnp.asarray(plane)))
     assert pred.shape == (1, 1)
     assert pred[0, 0] == 0
+
+
+def test_pack_thresholds_exhaustive():
+    """Compare-sum mapping must equal the exhaustive LUT for ALL int16."""
+    for q in [0, 10, 50, 90, 100]:
+        for mapper in (tables.MappingTable.for_fullres_quality(q),
+                       tables.MappingTable.for_lowres_quality(q)):
+            th = mapper.pack_thresholds.astype(np.int64)
+            xs = np.arange(-32768, 32768, dtype=np.int64)
+            aq = np.abs(xs)
+            idx = (aq[:, None] >= th[None, :]).sum(axis=1)
+            idx[xs == -32768] = 1
+            wire = np.where(xs == 0, 0,
+                            np.where(xs > 0, idx, (-idx) & 0xFF)).astype(np.uint8)
+            assert np.array_equal(wire, mapper.map_lut), q
+
+
+def test_unpack_matches_unmap_lut_all_bytes():
+    """One-hot MXU unmap must equal unmap_lut for all 256 wire bytes."""
+    for q in [0, 50, 100]:
+        m = tables.MappingTable.for_lowres_quality(q)
+        data = np.arange(256, dtype=np.uint8).reshape(4, 64)
+        shift = np.zeros(64, dtype=np.uint8)
+        got = np.asarray(quantize.unpack(jnp.asarray(data), jnp.asarray(shift),
+                                         jnp.asarray(m.positive)))
+        assert np.array_equal(got.reshape(-1), m.unmap_lut), q
