@@ -184,16 +184,18 @@ def _build_decode_table(codes: np.ndarray, bits: np.ndarray):
     return table
 
 
-def decompress(data: bytes, out_size: int, block_size: int) -> np.ndarray:
+def decompress(data: bytes, out_size: int, block_size: int,
+               max_threads: int = 0) -> np.ndarray:
     """Reference-parity Huffman decompression.
 
     Dispatches to the native threaded C++ backend when available; the
-    Python implementation below is the readable spec + fallback.  Raises
+    Python implementation below is the readable spec + fallback.
+    max_threads caps decode workers (0 = hardware concurrency).  Raises
     ValueError on corrupt input.
     """
     from . import native
     if native.available():
-        return native.decompress(data, out_size, block_size)
+        return native.decompress(data, out_size, block_size, max_threads)
     return decompress_py(data, out_size, block_size)
 
 

@@ -326,10 +326,59 @@ int64_t he_max_compressed_size(int64_t in_size, int64_t block_size) {
   return 8 * in_size + 64 * n_blocks + 1024;
 }
 
+namespace {
+
+// One RLE/literal token: symbol plus pre-packed extra bits.
+struct Token {
+  uint16_t symbol;
+  uint16_t extra;
+  uint8_t extra_bits;
+};
+
+// Tokenize one block, appending to `tokens` and bumping `hist`.  Uses
+// 64-bit word scanning to skip zero runs (the dominant content of
+// coefficient planes).
+inline void TokenizeBlock(const uint8_t *blk, int64_t block_size,
+                          std::vector<Token> *tokens, int64_t *hist) {
+  int64_t k = 0;
+  while (k < block_size) {
+    uint8_t v = blk[k];
+    if (v != 0) {
+      hist[v]++;
+      tokens->push_back({v, 0, 0});
+      ++k;
+      continue;
+    }
+    int64_t z = 1;
+    int64_t limit = std::min<int64_t>(block_size - k, kMaxRun);
+    // Fast-skip aligned zero words.
+    while (z + 8 <= limit) {
+      uint64_t w;
+      std::memcpy(&w, blk + k + z, 8);
+      if (w != 0) break;
+      z += 8;
+    }
+    while (z < limit && blk[k + z] == 0) ++z;
+    uint32_t extra;
+    int ebits;
+    int sym = RunSymbol(static_cast<int>(z), &extra, &ebits);
+    hist[sym]++;
+    tokens->push_back({static_cast<uint16_t>(sym),
+                       static_cast<uint16_t>(extra),
+                       static_cast<uint8_t>(ebits)});
+    k += z;
+  }
+}
+
+}  // namespace
+
 // Compress `in[0..in_size)` with per-block substreams of `block_size`
 // uncompressed bytes (0 = single stream).  Returns compressed size, or -1
 // on error (bad args / out_cap too small).  Byte-identical to the
-// reference encoder.
+// reference encoder.  Pipeline: one tokenizing pass (tokens buffered, so
+// the data is scanned once), host tree build, then per-block bit packing
+// parallelized over blocks with a sequential final-byte fix-up replaying
+// the reference's scratch-buffer reuse.
 int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
                     uint8_t *out, int64_t out_cap) {
   if (in_size < 1) return 0;
@@ -337,29 +386,36 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
   const bool use_blocks = block_size < in_size;
   if (in_size % block_size != 0) return -1;
   if (out_cap < he_max_compressed_size(in_size, block_size)) return -1;
+  const int64_t n_blocks = in_size / block_size;
 
-  // Histogram with RLE tokenization (runs never cross block borders).
-  int64_t hist[kNumSymbols] = {0};
-  for (int64_t base = 0; base < in_size; base += block_size) {
-    const uint8_t *blk = in + base;
-    for (int64_t k = 0; k < block_size;) {
-      if (blk[k] == 0) {
-        int64_t z = 1;
-        while (z < kMaxRun && k + z < block_size && blk[k + z] == 0) ++z;
-        uint32_t extra;
-        int ebits;
-        hist[RunSymbol(static_cast<int>(z), &extra, &ebits)]++;
-        k += z;
-      } else {
-        hist[blk[k]]++;
-        ++k;
+  // Pass 1: tokenize + histogram (threaded over block ranges).
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  int n_threads = std::max(1, std::min<int>(hw, static_cast<int>(
+      std::min<int64_t>(n_blocks, 16))));
+  std::vector<std::vector<Token>> tok_parts(n_blocks);
+  std::vector<std::vector<int64_t>> hist_parts(
+      n_threads, std::vector<int64_t>(kNumSymbols, 0));
+  {
+    std::atomic<int64_t> next_blk(0);
+    auto tok_worker = [&](int tid) {
+      int64_t *h = hist_parts[tid].data();
+      while (true) {
+        int64_t b = next_blk.fetch_add(1, std::memory_order_relaxed);
+        if (b >= n_blocks) break;
+        tok_parts[b].reserve(static_cast<size_t>(block_size / 16 + 8));
+        TokenizeBlock(in + b * block_size, block_size, &tok_parts[b], h);
       }
-    }
+    };
+    std::vector<std::thread> ts;
+    for (int t = 1; t < n_threads; ++t) ts.emplace_back(tok_worker, t);
+    tok_worker(0);
+    for (auto &t : ts) t.join();
   }
+  int64_t hist[kNumSymbols] = {0};
+  for (auto &h : hist_parts)
+    for (int s = 0; s < kNumSymbols; ++s) hist[s] += h[s];
 
-  // Only the tree header region needs zeroing (its partial final byte
-  // merges with existing content, which the reference guarantees to be
-  // zero); every payload byte is fully overwritten.
+  // Tree + header.
   constexpr int64_t kMaxTreeBytes = ((2 + kSymbolBits) * kNumSymbols + 7) / 8;
   std::memset(out, 0, static_cast<size_t>(
       std::min<int64_t>(out_cap, kMaxTreeBytes + 16)));
@@ -374,50 +430,102 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
     StoreTree(nodes, 0, 1, &head, &table);  // single-symbol special case
   }
   head.FlushPartial();
-  int64_t out_pos = head.byte_count();
+  const int64_t head_bytes = head.byte_count();
 
-  // Per-block payloads through a persistent scratch buffer (parity quirk:
-  // the final partial byte inherits stale bits from earlier blocks).
-  std::vector<uint8_t> scratch(
-      static_cast<size_t>(8 * block_size + 64), 0);
-  for (int64_t base = 0; base < in_size; base += block_size) {
-    const uint8_t *blk = in + base;
-    BitWriter w(scratch.data());
-    for (int64_t k = 0; k < block_size;) {
-      uint8_t v = blk[k];
-      if (v == 0) {
-        int64_t z = 1;
-        while (z < kMaxRun && k + z < block_size && blk[k + z] == 0) ++z;
-        uint32_t extra;
-        int ebits;
-        int sym = RunSymbol(static_cast<int>(z), &extra, &ebits);
-        w.Put(table.code[sym], table.bits[sym]);
-        if (ebits) w.Put(extra, ebits);
-        k += z;
-      } else {
-        w.Put(table.code[v], table.bits[v]);
-        ++k;
+  // Pass 2: per-block bit packing.  Blocks pack independently (threaded);
+  // their byte offsets in `out` need packed sizes first, so pack into the
+  // output via a two-step: sizes are known only after packing, so each
+  // block packs into out at a provisional exclusive region sized by its
+  // token bit count (exact: sum of code+extra bits).
+  std::vector<int64_t> bit_sizes(n_blocks);
+  {
+    std::atomic<int64_t> next_blk(0);
+    auto size_worker = [&]() {
+      while (true) {
+        int64_t b = next_blk.fetch_add(1, std::memory_order_relaxed);
+        if (b >= n_blocks) break;
+        int64_t bits = 0;
+        for (const Token &t : tok_parts[b])
+          bits += table.bits[t.symbol] + t.extra_bits;
+        bit_sizes[b] = bits;
       }
-    }
-    w.FlushPartial();
-    int64_t packed = w.byte_count();
-    if (use_blocks) {
-      if (packed <= 0x7FFF) {
-        out[out_pos++] = static_cast<uint8_t>(packed);
-        out[out_pos++] = static_cast<uint8_t>(packed >> 8);
-      } else {
-        uint32_t lo = static_cast<uint32_t>((packed & 0x7FFF) | 0x8000);
-        uint32_t hi = static_cast<uint32_t>(packed >> 15);
-        out[out_pos++] = static_cast<uint8_t>(lo);
-        out[out_pos++] = static_cast<uint8_t>(lo >> 8);
-        out[out_pos++] = static_cast<uint8_t>(hi);
-        out[out_pos++] = static_cast<uint8_t>(hi >> 8);
-      }
-    }
-    std::memcpy(out + out_pos, scratch.data(), static_cast<size_t>(packed));
-    out_pos += packed;
+    };
+    std::vector<std::thread> ts;
+    for (int t = 1; t < n_threads; ++t) ts.emplace_back(size_worker);
+    size_worker();
+    for (auto &t : ts) t.join();
   }
-  return out_pos;
+  std::vector<int64_t> offsets(n_blocks + 1);
+  offsets[0] = head_bytes;
+  for (int64_t b = 0; b < n_blocks; ++b) {
+    int64_t packed = (bit_sizes[b] + 7) / 8;
+    int64_t prefix = 0;
+    if (use_blocks) prefix = packed <= 0x7FFF ? 2 : 4;
+    offsets[b + 1] = offsets[b] + prefix + packed;
+  }
+
+  {
+    std::atomic<int64_t> next_blk(0);
+    auto pack_worker = [&]() {
+      while (true) {
+        int64_t b = next_blk.fetch_add(1, std::memory_order_relaxed);
+        if (b >= n_blocks) break;
+        int64_t packed = (bit_sizes[b] + 7) / 8;
+        uint8_t *dst = out + offsets[b];
+        if (use_blocks) {
+          if (packed <= 0x7FFF) {
+            dst[0] = static_cast<uint8_t>(packed);
+            dst[1] = static_cast<uint8_t>(packed >> 8);
+            dst += 2;
+          } else {
+            uint32_t lo = static_cast<uint32_t>((packed & 0x7FFF) | 0x8000);
+            dst[0] = static_cast<uint8_t>(lo);
+            dst[1] = static_cast<uint8_t>(lo >> 8);
+            dst[2] = static_cast<uint8_t>(packed >> 15);
+            dst[3] = static_cast<uint8_t>(packed >> 23);
+            dst += 4;
+          }
+        }
+        if (bit_sizes[b] & 7) dst[packed - 1] = 0;  // defined partial byte
+        BitWriter w(dst);
+        for (const Token &t : tok_parts[b]) {
+          uint32_t code = table.code[t.symbol];
+          int nb = table.bits[t.symbol];
+          w.Put(code | (static_cast<uint32_t>(t.extra) << nb),
+                nb + t.extra_bits);
+        }
+        w.FlushPartial();
+      }
+    };
+    std::vector<std::thread> ts;
+    for (int t = 1; t < n_threads; ++t) ts.emplace_back(pack_worker);
+    pack_worker();
+    for (auto &t : ts) t.join();
+  }
+
+  // Sequential stale-bit fix-up: the reference serializes every block
+  // through one reused scratch buffer, so the unused high bits of block
+  // b's final byte hold the most recent earlier block's byte at the same
+  // scratch index.  Replay that by tracking, per byte index, the latest
+  // block whose payload covered it.
+  {
+    int64_t max_packed = 0;
+    for (int64_t b = 0; b < n_blocks; ++b)
+      max_packed = std::max(max_packed, (bit_sizes[b] + 7) / 8);
+    std::vector<uint8_t> scratch(static_cast<size_t>(max_packed) + 1, 0);
+    for (int64_t b = 0; b < n_blocks; ++b) {
+      int64_t packed = (bit_sizes[b] + 7) / 8;
+      int rem = static_cast<int>(bit_sizes[b] & 7);
+      uint8_t *payload = out + offsets[b + 1] - packed;
+      if (packed > 0 && rem) {
+        uint8_t mask = static_cast<uint8_t>((1u << rem) - 1);
+        payload[packed - 1] = static_cast<uint8_t>(
+            (payload[packed - 1] & mask) | (scratch[packed - 1] & ~mask));
+      }
+      std::memcpy(scratch.data(), payload, static_cast<size_t>(packed));
+    }
+  }
+  return offsets[n_blocks];
 }
 
 // Decompress into out[0..out_size).  block_size is the *uncompressed*

@@ -19,6 +19,7 @@ block.  Here that's a gather + transpose over the whole image at once.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -64,6 +65,52 @@ def interleave_coefficients(packed: jnp.ndarray) -> jnp.ndarray:
     """
     zz = jnp.asarray(np.asarray(ZIGZAG))
     return packed[:, :, zz].transpose(0, 2, 1)
+
+
+def to_plane_major(plane: jnp.ndarray) -> jnp.ndarray:
+    """[H8, W8] -> [rows, 8(y), 8(x), cols] plane-major block layout.
+
+    One XLA transpose; all downstream per-block math then runs with the
+    wide `cols` axis minor (full vector-lane occupancy).
+    """
+    h8, w8 = plane.shape
+    x = plane.reshape(h8 // 8, 8, w8 // 8, 8)
+    return x.transpose(0, 1, 3, 2)
+
+
+def from_plane_major(pm: jnp.ndarray) -> jnp.ndarray:
+    """[rows, 8, 8, cols] -> [rows*8, cols*8]."""
+    r, _, _, c = pm.shape
+    return pm.transpose(0, 1, 3, 2).reshape(r * 8, c * 8)
+
+
+# Zigzag as a permutation of the flattened (y, x) sublane axis: plane i of
+# the interleaved FRES layout is row-major position ZIGZAG[i].
+_ZZ = np.asarray(ZIGZAG)
+_INV_ZZ = np.argsort(_ZZ)
+
+
+def permute_rows(x: jnp.ndarray, perm, axis: int) -> jnp.ndarray:
+    """Static permutation along `axis` as stacked slices (no gather)."""
+    slices = [jax.lax.index_in_dim(x, int(i), axis, keepdims=False)
+              for i in perm]
+    return jnp.stack(slices, axis=axis)
+
+
+def pm_to_interleaved(pm: jnp.ndarray, axis: int = -3) -> jnp.ndarray:
+    """[..., 8, 8, cols] plane-major -> [..., 64, cols] FRES layout.
+
+    Plane i of the interleave holds zigzag slot i (encoder.cpp:320-326);
+    `axis` addresses the resulting 64-sized dimension.
+    """
+    shape = pm.shape[:-3] + (64,) + pm.shape[-1:]
+    return permute_rows(pm.reshape(shape), _ZZ, axis)
+
+
+def interleaved_to_pm(planes: jnp.ndarray, axis: int = -2) -> jnp.ndarray:
+    """[..., 64, cols] FRES layout -> [..., 8, 8, cols] plane-major."""
+    flat = permute_rows(planes, _INV_ZZ, axis)
+    return flat.reshape(flat.shape[:-2] + (8, 8) + flat.shape[-1:])
 
 
 def deinterleave_coefficients(planes: jnp.ndarray) -> jnp.ndarray:

@@ -19,6 +19,7 @@ under int16 wraparound is part of the format contract.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # Output permutation of the 8-point butterfly's final stage: stage-2 value
@@ -27,24 +28,27 @@ import jax.numpy as jnp
 
 
 def _butterfly8(x: jnp.ndarray, axis: int, out_dtype) -> jnp.ndarray:
-    """One 8-point Hadamard butterfly along `axis` with HIMG's permutation."""
-    x = jnp.moveaxis(x, axis, -1)
-    lo, hi = x[..., 0:4], x[..., 4:8]
-    a03 = lo + hi                       # a0..a3
-    a47 = lo - hi                       # a4..a7
-    b0 = a03[..., 0] + a03[..., 2]
-    b1 = a03[..., 1] + a03[..., 3]
-    b2 = a03[..., 0] - a03[..., 2]
-    b3 = a03[..., 1] - a03[..., 3]
-    b4 = a47[..., 0] + a47[..., 2]
-    b5 = a47[..., 1] + a47[..., 3]
-    b6 = a47[..., 0] - a47[..., 2]
-    b7 = a47[..., 1] - a47[..., 3]
+    """One 8-point Hadamard butterfly along `axis` with HIMG's permutation.
+
+    Implemented as static slices along `axis` (never a transpose) so the
+    minor/vector dimension of the operands is preserved.
+    """
+    v = [jax.lax.index_in_dim(x, i, axis, keepdims=False) for i in range(8)]
+    a = [v[0] + v[4], v[1] + v[5], v[2] + v[6], v[3] + v[7],
+         v[0] - v[4], v[1] - v[5], v[2] - v[6], v[3] - v[7]]
+    b0 = a[0] + a[2]
+    b1 = a[1] + a[3]
+    b2 = a[0] - a[2]
+    b3 = a[1] - a[3]
+    b4 = a[4] + a[6]
+    b5 = a[5] + a[7]
+    b6 = a[4] - a[6]
+    b7 = a[5] - a[7]
     y = jnp.stack([
         b0 + b1, b4 + b5, b6 + b7, b2 + b3,
         b2 - b3, b6 - b7, b4 - b5, b0 - b1,
-    ], axis=-1).astype(out_dtype)
-    return jnp.moveaxis(y, -1, axis)
+    ], axis=axis if axis >= 0 else x.ndim + axis).astype(out_dtype)
+    return y
 
 
 def forward(blocks: jnp.ndarray) -> jnp.ndarray:
@@ -69,4 +73,29 @@ def inverse(blocks: jnp.ndarray) -> jnp.ndarray:
     x = _butterfly8(x, -1, jnp.int32) >> 3
     x = x.astype(jnp.int16).astype(jnp.int32)
     x = _butterfly8(x, -2, jnp.int32) >> 3
+    return x.astype(jnp.int16)
+
+
+# --------------------------------------------------------------------------
+# Plane-major layout [..., 8(y), 8(x), cols]: the transform axes sit in
+# sublanes while the minor axis is the wide block-column dimension, so each
+# butterfly line is a full-width vector add -- the TPU-native layout (the
+# [..., 8, 8]-minor layout wastes 15/16 of every vector register on lane
+# padding).
+# --------------------------------------------------------------------------
+
+def forward_pm(x: jnp.ndarray) -> jnp.ndarray:
+    """Forward WHT on plane-major int16 [..., 8, 8, cols]."""
+    x = x.astype(jnp.int16)
+    x = _butterfly8(x, -2, jnp.int16)   # mix x within each row
+    x = _butterfly8(x, -3, jnp.int16)   # mix y
+    return x
+
+
+def inverse_pm(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse WHT (incl. /64) on plane-major int16 [..., 8, 8, cols]."""
+    x = x.astype(jnp.int32)
+    x = _butterfly8(x, -2, jnp.int32) >> 3
+    x = x.astype(jnp.int16).astype(jnp.int32)
+    x = _butterfly8(x, -3, jnp.int32) >> 3
     return x.astype(jnp.int16)

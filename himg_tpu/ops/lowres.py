@@ -107,6 +107,38 @@ def upsample(lowres: jnp.ndarray) -> jnp.ndarray:
     return grid[..., :8, :8]
 
 
+def _avg_cascade_stacked(a: jnp.ndarray, b: jnp.ndarray, axis: int):
+    """Like _avg_cascade but stacking the 9 points along `axis`."""
+    v0, v8 = a, b
+    v4 = (v0 + v8 + 1) >> 1
+    v2 = (v0 + v4 + 1) >> 1
+    v6 = (v4 + v8 + 1) >> 1
+    v1 = (v0 + v2 + 1) >> 1
+    v3 = (v2 + v4 + 1) >> 1
+    v5 = (v4 + v6 + 1) >> 1
+    v7 = (v6 + v8 + 1) >> 1
+    return [v0, v1, v2, v3, v4, v5, v6, v7, v8]
+
+
+def upsample_pm(lowres: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [rows, cols] -> int16 [rows, 8(y), 8(x), cols] plane-major.
+
+    Identical arithmetic to `upsample`, but the interpolation points stack
+    in sublane axes while `cols` stays the minor/vector axis.
+    """
+    d = lowres.astype(jnp.int16)
+    right_col = jnp.concatenate([d[:, 1:], d[:, -1:]], axis=1)
+    below = jnp.concatenate([d[1:], d[-1:]], axis=0)
+    below_right = jnp.concatenate([right_col[1:], right_col[-1:]], axis=0)
+    left = _avg_cascade_stacked(d, below, 1)          # 9 x [rows, cols]
+    right = _avg_cascade_stacked(right_col, below_right, 1)
+    rows_out = []
+    for y in range(8):
+        pts = _avg_cascade_stacked(left[y], right[y], 1)[:8]
+        rows_out.append(jnp.stack(pts, axis=1))       # [rows, 8(x), cols]
+    return jnp.stack(rows_out, axis=1)                # [rows, 8, 8, cols]
+
+
 # --------------------------------------------------------------------------
 # Predictive coding of the sample grid.
 # --------------------------------------------------------------------------

@@ -77,6 +77,11 @@ def _sample_rows_sharded(plane, h: int, row_start: int):
     y0 = jnp.clip(y0, jnp.where(idx == 0, 8, 0), hl + 16)
     y1 = jnp.clip(y1, 0, jnp.where(idx == n - 1, hl + 7, hl + 15))
 
+    # Block rows past the true image height (row padding for even shard
+    # division) produce don't-care values; guard the window against
+    # degenerate/empty ranges there.
+    y1 = jnp.maximum(y1, y0)
+
     cols = (w + 7) >> 3
     u = jnp.arange(cols)
     x0 = jnp.maximum(0, u * 8 - 3)
@@ -84,7 +89,7 @@ def _sample_rows_sharded(plane, h: int, row_start: int):
     # Gather the 4 integral-image corners via dynamic row indexing.
     s = (ii[y1 + 1][:, x1 + 1] - ii[y0][:, x1 + 1]
          - ii[y1 + 1][:, x0] + ii[y0][:, x0])
-    count = (y1 - y0 + 1)[:, None] * (x1 - x0 + 1)[None, :]
+    count = jnp.maximum((y1 - y0 + 1)[:, None] * (x1 - x0 + 1)[None, :], 1)
     avg = (s + (count >> 1)) // count                  # [rL, cols]
 
     # Phase compensation: left blend locally, up blend needs 1 halo row.
@@ -97,11 +102,15 @@ def _sample_rows_sharded(plane, h: int, row_start: int):
 
 
 def _encode_shard_body(img, shift_tables, fr_thresholds, lr_map_small, lr_unmap,
-                       *, h: int, use_ycbcr: bool):
+                       *, h: int, use_ycbcr: bool, rows_true: int = 0):
     """shard_map body: [hL, W, C] slab -> local planes + replicated low-res.
 
     Returns (fres_local [rL, C, 64, cols], pred_ids [C, MR, MC],
-    delta_grid [C, R, Cc]) -- the latter two replicated across shards.
+    delta_grid [C, R_true, Cc]) -- the latter two replicated across shards.
+    `h` is the true pixel height; when the padded height (for even shard
+    division) exceeds ceil(h/8) block rows, `rows_true` limits the low-res
+    layer and the extra block rows carry don't-care planes (dropped at
+    bitstream assembly).
     """
     axis = "rows"
     n = jax.lax.axis_size(axis)
@@ -118,27 +127,40 @@ def _encode_shard_body(img, shift_tables, fr_thresholds, lr_map_small, lr_unmap,
     # Full low-res grid everywhere: tiny (1/64 of pixels), and the
     # macro-block feedback scan crosses shard rows.
     grids = jax.lax.all_gather(local_rows, axis, axis=1, tiled=True)
+    r_pad = grids.shape[1]
+    if not rows_true:
+        rows_true = r_pad
+    if rows_true < r_pad:
+        # Replicate the last true sample row into the padding so edge
+        # blocks see exactly the reference's clamped interpolation.
+        row_idx = np.minimum(np.arange(r_pad), rows_true - 1)
+        grids_up = grids[:, row_idx]
+        grids = grids[:, :rows_true]
+    else:
+        grids_up = grids
 
     pred_ids = jax.vmap(lowres.select_predictors)(grids)
     effective = jnp.where(pred_ids <= 1, 0, pred_ids)
     delta_grids = jax.vmap(
         lambda g, p: lowres.encode_deltas(g, p, lr_map_small, lr_unmap)
     )(grids, effective)
+    grids = grids_up
 
-    # Local full-res path; predictor blocks sliced from the gathered grid
-    # (upsample needs one sample row below the local slab).
+    # Local full-res path in plane-major layout; predictor blocks sliced
+    # from the gathered grid (upsample needs one sample row below the slab).
     rl = hl >> 3
-    pred_blocks_full = jax.vmap(lowres.upsample)(grids)
+    pred_pm_full = jax.vmap(lowres.upsample_pm)(grids)  # [C, R, 8, 8, cols]
     v0 = row_start >> 3
-    pred_blocks = jax.lax.dynamic_slice_in_dim(pred_blocks_full, v0, rl, 1)
+    pred_pm = jax.lax.dynamic_slice_in_dim(pred_pm_full, v0, rl, 1)
 
     padded = jax.vmap(blockops.pad_to_blocks)(chans)
-    blk = jax.vmap(blockops.to_blocks)(padded).astype(jnp.int16)
-    coeffs = hadamard.forward(blk - pred_blocks)
-    flat = coeffs.reshape(*coeffs.shape[:-2], 64)
-    packed = quantize.pack(flat, shift_tables[:, None, None, :], fr_thresholds)
-    inter = jax.vmap(blockops.interleave_coefficients)(packed)
-    return jnp.moveaxis(inter, 0, 1), pred_ids, delta_grids
+    pm = jax.vmap(blockops.to_plane_major)(padded).astype(jnp.int16)
+    coeffs = hadamard.forward_pm(pm - pred_pm)
+    inter = blockops.pm_to_interleaved(coeffs, axis=2)
+    from ..format import tables as _tables
+    shift_zz = shift_tables[:, np.asarray(_tables.ZIGZAG)]
+    packed = quantize.pack(inter, shift_zz[:, None, :, None], fr_thresholds)
+    return jnp.moveaxis(packed, 0, 1), pred_ids, delta_grids
 
 
 def build_sharded_encode(mesh: Mesh, h: int, w: int, c: int,
@@ -155,6 +177,10 @@ def build_sharded_encode(mesh: Mesh, h: int, w: int, c: int,
     assert h % (8 * n_rows) == 0, "height must split into 8-row multiples"
 
     body = partial(_encode_shard_body, h=h, use_ycbcr=use_ycbcr)
+    return _finish_sharded_encode(mesh, body)
+
+
+def _finish_sharded_encode(mesh, body):
     inner = jax.shard_map(
         jax.vmap(body, in_axes=(0, None, None, None, None)),
         mesh=mesh,
@@ -178,13 +204,15 @@ def _decode_shard_body(fres_local, grids, shift_tables, fr_pos_curve,
     v0 = idx * rl
 
     planes = jnp.moveaxis(fres_local, 1, 0)            # [C, rL, 64, cols]
-    packed = jax.vmap(blockops.deinterleave_coefficients)(planes)
-    coeffs = quantize.unpack(packed, shift_tables[:, None, None, :], fr_pos_curve)
-    blk = hadamard.inverse(coeffs.reshape(*coeffs.shape[:-1], 8, 8))
-    pred_full = jax.vmap(lowres.upsample)(grids)
-    pred_blocks = jax.lax.dynamic_slice_in_dim(pred_full, v0, rl, 1)
-    restored = blk.astype(jnp.int32) + pred_blocks.astype(jnp.int32)
-    img = jax.vmap(blockops.from_blocks)(
+    from ..format import tables as _tables
+    shift_zz = shift_tables[:, np.asarray(_tables.ZIGZAG)]
+    coeffs = quantize.unpack(planes, shift_zz[:, None, :, None], fr_pos_curve)
+    pm = blockops.interleaved_to_pm(coeffs, axis=2)
+    blk = hadamard.inverse_pm(pm)
+    pred_full = jax.vmap(lowres.upsample_pm)(grids)
+    pred_pm = jax.lax.dynamic_slice_in_dim(pred_full, v0, rl, 1)
+    restored = blk.astype(jnp.int32) + pred_pm.astype(jnp.int32)
+    img = jax.vmap(blockops.from_plane_major)(
         jnp.clip(restored, 0, 255).astype(jnp.uint8))
     img = jnp.moveaxis(img, 0, -1)
     if use_ycbcr:
@@ -214,10 +242,17 @@ def build_sharded_decode(mesh: Mesh, h: int, w: int, c: int,
 
     body = partial(_decode_shard_body, use_ycbcr=use_ycbcr)
 
+    rows_pad = ((h + 7) >> 3)
+
     def shard_fn(fres, delta_grids, pred_ids, shift_tables, fr_pos_curve,
                  lr_unmap):
         def one(fres_b, dg_b, pi_b):
             grids = replicated_lowres(dg_b, pi_b, lr_unmap)
+            r_true = grids.shape[1]
+            if r_true < rows_pad:
+                # Edge-replicate into row padding (== reference clamping).
+                row_idx = np.minimum(np.arange(rows_pad), r_true - 1)
+                grids = grids[:, row_idx]
             return body(fres_b, grids, shift_tables, fr_pos_curve)
         return jax.vmap(one)(fres, delta_grids, pred_ids)
 
@@ -229,3 +264,82 @@ def build_sharded_decode(mesh: Mesh, h: int, w: int, c: int,
         out_specs=P("batch", "rows", None, None),
     )
     return jax.jit(inner)
+
+
+# --------------------------------------------------------------------------
+# Whole-image sharded encode/decode (config 5: 4K/8K single images).
+# --------------------------------------------------------------------------
+
+def _pad_rows_for_mesh(h: int, n_rows: int) -> int:
+    """Padded pixel height: block rows divisible by the row-shard count."""
+    rows = (h + 7) >> 3
+    rows_pad = -(-rows // n_rows) * n_rows
+    return rows_pad * 8
+
+
+def encode_image_sharded(mesh: Mesh, image, quality: int = 50,
+                         use_ycbcr: bool = True) -> bytes:
+    """Encode one large [H, W, C] image across the mesh's "rows" axis.
+
+    The transform stages run sharded over 8-pixel block rows (halo
+    ppermutes + low-res all_gather, see module docstring); the bitstream is
+    then assembled from the per-block-row substreams, which the format
+    makes independent (huffman_enc.cpp:342-358) -- the entropy stage
+    parallelizes over the same rows on the host.  Output is byte-identical
+    to the single-device encoder.
+    """
+    from functools import lru_cache
+    from ..pipeline.encode import EncodeTables, assemble_container
+
+    img = np.asarray(image, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, c = img.shape
+    use_ycbcr = bool(use_ycbcr) and c >= 3
+    n_rows = mesh.shape["rows"]
+    rows_true = (h + 7) >> 3
+    h_pad = _pad_rows_for_mesh(h, n_rows)
+
+    # Host-side pad: reference bottom-pad quirks up to the true block grid,
+    # anything (zeros) beyond -- those block rows are dropped below.
+    h8, w8 = rows_true * 8, ((w + 7) >> 3) * 8
+    padded = np.zeros((h_pad, w8, c), dtype=np.uint8)
+    for chan in range(c):
+        padded[:h8, :, chan] = np.asarray(
+            blockops.pad_to_blocks(jnp.asarray(img[..., chan])))
+
+    et = EncodeTables(quality, use_ycbcr, c)
+    lr = et.lr_mapper
+    body = partial(_encode_shard_body, h=h, use_ycbcr=use_ycbcr,
+                   rows_true=rows_true)
+    enc = _finish_sharded_encode(mesh, body)
+    fres, pred_ids, delta_grids = enc(
+        jnp.asarray(padded[None]), jnp.asarray(et.shift_tables),
+        jnp.asarray(et.fr_mapper.pack_thresholds),
+        jnp.asarray(lr.map_lut[32768 - 511:32768 + 512]),
+        jnp.asarray(lr.unmap_lut))
+    fres = np.asarray(fres)[0, :rows_true]
+    return assemble_container(w, h, c, et, np.asarray(pred_ids)[0],
+                              np.asarray(delta_grids)[0], fres)
+
+
+def decode_image_sharded(mesh: Mesh, data: bytes) -> np.ndarray:
+    """Decode a HIMG blob with the transform stages sharded over the mesh."""
+    from ..pipeline.decode import parse_container
+
+    (header, shift_tables, fr_pos, lr_unmap,
+     pred_ids, delta_grids, fres) = parse_container(data)
+    h, w, c = header.height, header.width, header.num_channels
+    use_ycbcr = header.use_ycbcr and c >= 3
+    n_rows = mesh.shape["rows"]
+    rows_true = (h + 7) >> 3
+    h_pad = _pad_rows_for_mesh(h, n_rows)
+    rows_pad = h_pad // 8
+
+    fres_pad = np.zeros((rows_pad,) + fres.shape[1:], dtype=np.uint8)
+    fres_pad[:rows_true] = fres
+    dec = build_sharded_decode(mesh, h_pad, w, c, use_ycbcr)
+    out = dec(jnp.asarray(fres_pad[None]), jnp.asarray(delta_grids[None]),
+              jnp.asarray(pred_ids[None]), jnp.asarray(shift_tables),
+              jnp.asarray(fr_pos), jnp.asarray(lr_unmap))
+    return np.asarray(out)[0, :h, :w, :]

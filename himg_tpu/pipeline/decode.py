@@ -39,13 +39,17 @@ def _decode_device(fres, delta_grids, pred_ids, shift_tables, fr_pos_curve,
         lambda d, p: lowres.decode_deltas(d, p, lr_unmap, (r, cc))
     )(delta_grids, pred_ids)
 
+    # Plane-major path: dequantize directly in the interleaved layout
+    # (elementwise; shift table permuted to zigzag order), then un-zigzag
+    # into [C, rows, 8, 8, cols] for the inverse WHT.
     planes = jnp.moveaxis(fres, 1, 0)                    # [C, rows, 64, cols]
-    packed = jax.vmap(blockops.deinterleave_coefficients)(planes)
-    coeffs = quantize.unpack(packed, shift_tables[:, None, None, :], fr_pos_curve)
-    blk = hadamard.inverse(coeffs.reshape(*coeffs.shape[:-1], 8, 8))
-    pred_blocks = jax.vmap(lowres.upsample)(grids)
-    restored = blk.astype(jnp.int32) + pred_blocks.astype(jnp.int32)
-    img = jax.vmap(blockops.from_blocks)(
+    shift_zz = shift_tables[:, np.asarray(tables.ZIGZAG)]
+    coeffs = quantize.unpack(planes, shift_zz[:, None, :, None], fr_pos_curve)
+    pm = blockops.interleaved_to_pm(coeffs, axis=2)      # [C, rows, 8, 8, cols]
+    blk = hadamard.inverse_pm(pm)
+    pred_pm = jax.vmap(lowres.upsample_pm)(grids)
+    restored = blk.astype(jnp.int32) + pred_pm.astype(jnp.int32)
+    img = jax.vmap(blockops.from_plane_major)(
         jnp.clip(restored, 0, 255).astype(jnp.uint8))
     img = jnp.moveaxis(img, 0, -1)                       # [H8, W8, C]
     if use_ycbcr:
@@ -53,9 +57,15 @@ def _decode_device(fres, delta_grids, pred_ids, shift_tables, fr_pos_curve,
     return img
 
 
-def decode(data: bytes) -> np.ndarray:
-    """Decode HIMG bytes to an [H, W, C] uint8 image.
+def parse_container(data: bytes, max_threads: int = 0):
+    """Host side of decode: container walk + entropy expansion.
 
+    max_threads mirrors himg::Decoder(max_threads) (decoder.h:24): the cap
+    on worker threads for the per-block-row entropy stage (0 = hardware
+    concurrency).
+
+    Returns (header, shift_tables, fr_positive, lr_unmap, pred_ids,
+    delta_grids, fres) as NumPy arrays ready for _decode_device.
     Raises FormatError on malformed input (the reference returns false with
     a message, decoder.cpp:96-135).
     """
@@ -102,11 +112,24 @@ def decode(data: bytes) -> np.ndarray:
     # FRES: per-block-row substreams of interleaved coefficient planes.
     block_size = cols * c * 64
     fres = bitpack.decompress(reader.find_chunk("FRES"),
-                              rows * block_size, block_size)
+                              rows * block_size, block_size,
+                              max_threads=max_threads)
     fres = fres.reshape(rows, c, 64, cols)
+    return (header, shift_tables, fr_mapper.positive, lr_mapper.unmap_lut,
+            pred_ids, delta_grids, fres)
 
+
+def decode(data: bytes, max_threads: int = 0) -> np.ndarray:
+    """Decode HIMG bytes to an [H, W, C] uint8 image.
+
+    max_threads caps the host entropy worker threads, mirroring
+    himg::Decoder(max_threads); 0 means hardware concurrency.
+    """
+    (header, shift_tables, fr_pos, lr_unmap,
+     pred_ids, delta_grids, fres) = parse_container(data, max_threads)
+    has_chroma = header.use_ycbcr and header.num_channels >= 3
     img = _decode_device(
         jnp.asarray(fres), jnp.asarray(delta_grids), jnp.asarray(pred_ids),
-        jnp.asarray(shift_tables), jnp.asarray(fr_mapper.positive),
-        jnp.asarray(lr_mapper.unmap_lut), has_chroma)
-    return np.asarray(img)[:h, :w, :]
+        jnp.asarray(shift_tables), jnp.asarray(fr_pos),
+        jnp.asarray(lr_unmap), has_chroma)
+    return np.asarray(img)[:header.height, :header.width, :]

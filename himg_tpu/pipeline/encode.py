@@ -58,16 +58,71 @@ def _encode_device(img, shift_tables, fr_thresholds, lr_map_small, lr_unmap,
         lambda g, p: lowres.encode_deltas(g, p, lr_map_small, lr_unmap)
     )(grids, effective)
 
-    # Full-res: blocks minus upsampled low-res, WHT, quantize, interleave.
+    # Full-res in plane-major layout [C, rows, 8, 8, cols]: the wide cols
+    # axis stays minor through subtract/WHT/quantize so every vector op has
+    # full lane occupancy, and the zigzag lands directly in the FRES
+    # interleave layout.
     padded = jax.vmap(blockops.pad_to_blocks)(chans)    # [C, H8, W8]
-    blk = jax.vmap(blockops.to_blocks)(padded).astype(jnp.int16)
-    pred_blocks = jax.vmap(lowres.upsample)(grids)      # [C, rows, cols, 8, 8]
-    diff = blk - pred_blocks
-    coeffs = hadamard.forward(diff)                     # [C, rows, cols, 8, 8]
-    flat = coeffs.reshape(*coeffs.shape[:-2], 64)
-    packed = quantize.pack(flat, shift_tables[:, None, None, :], fr_thresholds)
-    inter = jax.vmap(blockops.interleave_coefficients)(packed)
-    return pred_ids, delta_grids, jnp.moveaxis(inter, 0, 1)
+    pm = jax.vmap(blockops.to_plane_major)(padded).astype(jnp.int16)
+    pred_pm = jax.vmap(lowres.upsample_pm)(grids)       # [C, rows, 8, 8, cols]
+    coeffs = hadamard.forward_pm(pm - pred_pm)
+    inter = blockops.pm_to_interleaved(coeffs, axis=2)  # [C, rows, 64, cols]
+    # Quantization is per-coefficient elementwise, so it commutes with the
+    # interleave; the shift table just needs the same zigzag ordering.
+    shift_zz = shift_tables[:, np.asarray(tables.ZIGZAG)]
+    packed = quantize.pack(inter, shift_zz[:, None, :, None], fr_thresholds)
+    return pred_ids, delta_grids, jnp.moveaxis(packed, 0, 1)
+
+
+class EncodeTables:
+    """Host-side per-(quality, geometry) encode state, reusable across
+    images (and across a batch)."""
+
+    def __init__(self, quality: int, use_ycbcr: bool, c: int):
+        self.quality = quality
+        self.use_ycbcr = use_ycbcr
+        self.lr_mapper = tables.MappingTable.for_lowres_quality(quality)
+        self.fr_mapper = tables.MappingTable.for_fullres_quality(quality)
+        self.luma_shift, self.chroma_shift = tables.make_quantizer(
+            quality, use_ycbcr)
+        shift = np.tile(self.luma_shift, (c, 1))
+        if use_ycbcr:
+            shift[1:3] = self.chroma_shift
+        self.shift_tables = shift
+
+    def device_args(self):
+        lr = self.lr_mapper
+        return (jnp.asarray(self.shift_tables),
+                jnp.asarray(self.fr_mapper.pack_thresholds),
+                jnp.asarray(lr.map_lut[32768 - 511:32768 + 512]),
+                jnp.asarray(lr.unmap_lut))
+
+
+def assemble_container(w: int, h: int, c: int, et: EncodeTables,
+                       pred_ids: np.ndarray, delta_grids: np.ndarray,
+                       fres: np.ndarray) -> bytes:
+    """Entropy-code device outputs and frame the RIFF container."""
+    rows, cols = (h + 7) >> 3, (w + 7) >> 3
+    # LRES payload: per channel, predictor bytes then deltas in wire order.
+    order = _stream_order(rows, cols)
+    lres_parts = []
+    for chan in range(c):
+        pred_bytes = ((pred_ids[chan].reshape(-1) - 2) & 0xFF).astype(np.uint8)
+        deltas = delta_grids[chan].reshape(-1)[order]
+        lres_parts.append(pred_bytes)
+        lres_parts.append(deltas)
+    lres_payload = np.concatenate(lres_parts)
+
+    writer = RIFFWriter()
+    writer.add_chunk("FRMT", FormatHeader(w, h, c, et.use_ycbcr).serialize())
+    writer.add_chunk("LMAP", et.lr_mapper.serialize())
+    writer.add_chunk("LRES", bitpack.compress(lres_payload, 0))
+    writer.add_chunk("QCFG", tables.pack_quant_config(
+        et.luma_shift, et.chroma_shift if et.use_ycbcr else None))
+    writer.add_chunk("FMAP", et.fr_mapper.serialize())
+    writer.add_chunk("FRES", bitpack.compress(
+        fres.reshape(-1), cols * c * 64))
+    return writer.tobytes()
 
 
 def encode(image: np.ndarray, quality: int = 50, use_ycbcr: bool = True) -> bytes:
@@ -81,42 +136,9 @@ def encode(image: np.ndarray, quality: int = 50, use_ycbcr: bool = True) -> byte
         img = img[..., None]
     h, w, c = img.shape
     use_ycbcr = bool(use_ycbcr) and c >= 3
-    rows, cols = (h + 7) >> 3, (w + 7) >> 3
 
-    # Tables (tiny, host).
-    lr_mapper = tables.MappingTable.for_lowres_quality(quality)
-    fr_mapper = tables.MappingTable.for_fullres_quality(quality)
-    luma_shift, chroma_shift = tables.make_quantizer(quality, use_ycbcr)
-    shift_tables = np.tile(luma_shift, (c, 1))
-    if use_ycbcr:
-        shift_tables[1:3] = chroma_shift
-    lr_map_small = lr_mapper.map_lut[32768 - 511:32768 + 512]
-
+    et = EncodeTables(quality, use_ycbcr, c)
     pred_ids, delta_grids, fres = _encode_device(
-        jnp.asarray(img), jnp.asarray(shift_tables),
-        jnp.asarray(fr_mapper.pack_thresholds), jnp.asarray(lr_map_small),
-        jnp.asarray(lr_mapper.unmap_lut), use_ycbcr)
-    pred_ids = np.asarray(pred_ids)
-    delta_grids = np.asarray(delta_grids)
-    fres = np.asarray(fres)
-
-    # LRES payload: per channel, predictor bytes then deltas in wire order.
-    order = _stream_order(rows, cols)
-    lres_parts = []
-    for chan in range(c):
-        pred_bytes = ((pred_ids[chan].reshape(-1) - 2) & 0xFF).astype(np.uint8)
-        deltas = delta_grids[chan].reshape(-1)[order]
-        lres_parts.append(pred_bytes)
-        lres_parts.append(deltas)
-    lres_payload = np.concatenate(lres_parts)
-
-    writer = RIFFWriter()
-    writer.add_chunk("FRMT", FormatHeader(w, h, c, use_ycbcr).serialize())
-    writer.add_chunk("LMAP", lr_mapper.serialize())
-    writer.add_chunk("LRES", bitpack.compress(lres_payload, 0))
-    writer.add_chunk("QCFG", tables.pack_quant_config(
-        luma_shift, chroma_shift if use_ycbcr else None))
-    writer.add_chunk("FMAP", fr_mapper.serialize())
-    writer.add_chunk("FRES", bitpack.compress(
-        fres.reshape(-1), cols * c * 64))
-    return writer.tobytes()
+        jnp.asarray(img), *et.device_args(), use_ycbcr)
+    return assemble_container(w, h, c, et, np.asarray(pred_ids),
+                              np.asarray(delta_grids), np.asarray(fres))

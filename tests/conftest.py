@@ -14,12 +14,19 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-# Persistent compile cache: XLA:CPU compile times are large and erratic on
-# small hosts; cache per-geometry compilations across test runs.
+# Persistent compile cache across test runs.
 _CACHE = Path(__file__).resolve().parent.parent / ".jax_cache"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(_CACHE))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+# On harnesses where a sitecustomize pre-imports jax with a remote TPU
+# plugin (JAX_PLATFORMS=axon), env vars alone are too late; force the
+# virtual CPU mesh through the config API before any backend is used.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import pytest
 

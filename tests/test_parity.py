@@ -94,3 +94,15 @@ def test_unknown_chunks_are_skipped():
     spliced[4:8] = struct.pack("<I", new_size)
     out = himg_tpu.decode(bytes(spliced))
     assert np.array_equal(out, himg_tpu.decode(data))
+
+
+def test_batch_codec_matches_single():
+    from himg_tpu.pipeline.batch import BatchCodec
+    frames = np.stack([make_image(64, 48, 3, seed=s) for s in range(6)])
+    codec = BatchCodec(64, 48, 3, 60, True, chunk=4)
+    blobs = codec.encode_batch(frames)
+    for i in range(6):
+        assert blobs[i] == himg_tpu.encode(frames[i], 60, True)
+    dec = codec.decode_batch(blobs)
+    for i in range(6):
+        assert np.array_equal(dec[i], himg_tpu.decode(blobs[i]))

@@ -1,0 +1,47 @@
+"""Mesh-sharded path: equality with the single-device pipeline."""
+
+import jax
+import numpy as np
+import pytest
+
+import himg_tpu
+from himg_tpu.parallel import sharding
+
+from util import make_image
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return sharding.make_mesh(1, 8)
+
+
+def test_sharded_image_encode_byte_identical(mesh8):
+    # 270 block rows (2160 px) does not divide 8 shards evenly: exercises
+    # the row-padding path.
+    img = make_image(132, 96, 3, seed=3)
+    blob = sharding.encode_image_sharded(mesh8, img, 55, True)
+    assert blob == himg_tpu.encode(img, 55, True)
+
+
+def test_sharded_image_decode_matches(mesh8):
+    img = make_image(128, 64, 3, seed=4)
+    blob = himg_tpu.encode(img, 45, True)
+    out = sharding.decode_image_sharded(mesh8, blob)
+    assert np.array_equal(out, himg_tpu.decode(blob))
+
+
+def test_sharded_batch_mixed_mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    mesh = sharding.make_mesh(2, 4)
+    imgs = np.stack([make_image(64, 32, 3, seed=s) for s in range(4)])
+    from himg_tpu.pipeline.encode import EncodeTables, _encode_device
+    import jax.numpy as jnp
+    et = EncodeTables(50, True, 3)
+    enc = sharding.build_sharded_encode(mesh, 64, 32, 3, True)
+    fres, pred, delta = enc(jnp.asarray(imgs), *et.device_args())
+    ref = jax.vmap(lambda im: _encode_device(
+        im, *et.device_args(), True))(jnp.asarray(imgs))
+    np.testing.assert_array_equal(np.asarray(fres), np.asarray(ref[2]))
