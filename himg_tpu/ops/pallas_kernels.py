@@ -1,0 +1,153 @@
+"""Fused Pallas TPU kernels for the per-block-row transform pipelines.
+
+Each kernel processes one interleaved block row per grid step entirely in
+VMEM, in the plane-major layout ([64, cols] tiles: 64 block-local pixel
+positions in sublanes, block columns in lanes):
+
+- `encode_rows`: (pixels - predictor) -> forward WHT -> zigzag ->
+  shift-quantize -> MapTo8Bit (127-threshold compare reduction) -> wire
+  bytes.  One HBM read of the inputs, one write of the output bytes.
+- `decode_rows`: wire bytes -> unmap (128-way select reduction) ->
+  dequantize -> un-zigzag -> inverse WHT -> +predictor -> clamp.
+
+The surrounding XLA program handles image<->plane-major layout, the
+low-res layer, and color conversion; these kernels fuse the arithmetic
+the XLA scheduler otherwise splits into several HBM round trips.
+
+The `cols` axis must be padded to a multiple of 128 lanes by the caller
+(`pad_cols`).  All integer semantics match ops.hadamard / ops.quantize
+exactly (verified against them in tests, interpret mode on CPU).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..format.tables import ZIGZAG
+
+_INV_ZIGZAG = np.argsort(np.asarray(ZIGZAG))
+
+
+def pad_cols(x: jnp.ndarray, mult: int = 128) -> jnp.ndarray:
+    """Pad the minor (cols) axis up to a lane multiple."""
+    c = x.shape[-1]
+    cp = -(-c // mult) * mult
+    if cp == c:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, cp - c)]
+    return jnp.pad(x, pad)
+
+
+def _row_perm(x, perm):
+    """Static permutation of the 64-row sublane axis of [64, cols]."""
+    return jnp.concatenate([x[int(i):int(i) + 1] for i in perm], axis=0)
+
+
+def _butterfly_rows(x, stride: int):
+    """8-point HIMG butterfly across row groups of [64, cols].
+
+    stride=1 mixes x (rows y*8+x, x varying); stride=8 mixes y.
+    Returns rows in the butterfly's permuted output order.
+    """
+    def g(i):
+        # rows with index pattern: for stride 1: y*8+i; stride 8: i*8+x.
+        if stride == 1:
+            return x.reshape(8, 8, -1)[:, i]
+        return x.reshape(8, 8, -1)[i]
+
+    v = [g(i) for i in range(8)]
+    a = [v[0] + v[4], v[1] + v[5], v[2] + v[6], v[3] + v[7],
+         v[0] - v[4], v[1] - v[5], v[2] - v[6], v[3] - v[7]]
+    b0, b1 = a[0] + a[2], a[1] + a[3]
+    b2, b3 = a[0] - a[2], a[1] - a[3]
+    b4, b5 = a[4] + a[6], a[5] + a[7]
+    b6, b7 = a[4] - a[6], a[5] - a[7]
+    outs = [b0 + b1, b4 + b5, b6 + b7, b2 + b3,
+            b2 - b3, b6 - b7, b4 - b5, b0 - b1]
+    stacked = jnp.stack(outs, axis=0)      # [8, 8, cols]
+    if stride == 1:
+        stacked = stacked.transpose(1, 0, 2)
+    return stacked.reshape(64, -1)
+
+
+def _encode_kernel(px_ref, pred_ref, shift_ref, th_ref, out_ref):
+    x = px_ref[0].astype(jnp.int16) - pred_ref[0].astype(jnp.int16)
+    # Forward WHT: int16 throughout (wrap semantics), rows then columns.
+    x = _butterfly_rows(x, 1).astype(jnp.int16)
+    x = _butterfly_rows(x, 8).astype(jnp.int16)
+    # Zigzag into the FRES interleave order.
+    x = _row_perm(x, np.asarray(ZIGZAG))
+    # Shift-quantize (round-to-nearest on |x|), int32 intermediates.
+    x32 = x.astype(jnp.int32)
+    shift = shift_ref[0][:, None]                       # [64, 1], zigzagged
+    rnd = jnp.where(shift != 0, 1 << jnp.maximum(shift - 1, 0), 0)
+    mag = (jnp.abs(x32) + rnd) >> shift
+    q = jnp.where(x32 < 0, -mag, mag).astype(jnp.int16).astype(jnp.int32)
+    # MapTo8Bit as a 127-threshold compare reduction.
+    aq = jnp.abs(q)
+    idx = jnp.zeros_like(aq)
+    for k in range(127):
+        idx += (aq >= th_ref[0, k]).astype(jnp.int32)
+    idx = jnp.where(q == -32768, 1, idx)
+    wire = jnp.where(q == 0, 0, jnp.where(q > 0, idx, (-idx) & 0xFF))
+    out_ref[0] = wire.astype(jnp.uint8)
+
+
+def _decode_kernel(wire_ref, pred_ref, shift_ref, pos_ref, out_ref):
+    d = wire_ref[0].astype(jnp.int32)                   # [64, cols]
+    mag = jnp.where(d < 128, d, jnp.minimum(256 - d, 127))
+    sgn = jnp.where(d < 128, 1, -1)
+    # Unmap: 128-way select reduction against the positive curve.
+    val = jnp.zeros_like(mag)
+    for k in range(128):
+        val += jnp.where(mag == k, pos_ref[0, k].astype(jnp.int32), 0)
+    val = val * sgn
+    shift = shift_ref[0][:, None]
+    coeff = ((val << shift).astype(jnp.int16))
+    # Un-zigzag, inverse WHT (int32 with >>3 per pass), +pred, clamp.
+    x = _row_perm(coeff, _INV_ZIGZAG).astype(jnp.int32)
+    x = (_butterfly_rows(x, 1) >> 3).astype(jnp.int16).astype(jnp.int32)
+    x = (_butterfly_rows(x, 8) >> 3).astype(jnp.int16).astype(jnp.int32)
+    restored = x + pred_ref[0].astype(jnp.int32)
+    out_ref[0] = jnp.clip(restored, 0, 255).astype(jnp.uint8)
+
+
+def _call(kernel, rows, cols_p, out_dtype, interpret):
+    spec = pl.BlockSpec((1, 64, cols_p), lambda i: (i, 0, 0),
+                        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    small = pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(rows,),
+        in_specs=[spec, spec, small, small],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((rows, 64, cols_p), out_dtype),
+        interpret=interpret,
+    )
+
+
+def encode_rows(pixels_pm: jnp.ndarray, pred_pm: jnp.ndarray,
+                shift_zz: jnp.ndarray, thresholds: jnp.ndarray,
+                interpret: bool = False) -> jnp.ndarray:
+    """[rows, 64, colsP] pixels/pred (+zigzagged shift[64], thresholds[127])
+    -> [rows, 64, colsP] wire bytes in FRES interleave order."""
+    rows, _, cols_p = pixels_pm.shape
+    return _call(_encode_kernel, rows, cols_p, jnp.uint8, interpret)(
+        pixels_pm, pred_pm, shift_zz.reshape(1, 64).astype(jnp.int32),
+        thresholds.reshape(1, 127).astype(jnp.int32))
+
+
+def decode_rows(wire_pm: jnp.ndarray, pred_pm: jnp.ndarray,
+                shift_zz: jnp.ndarray, pos_curve: jnp.ndarray,
+                interpret: bool = False) -> jnp.ndarray:
+    """[rows, 64, colsP] wire bytes -> [rows, 64, colsP] clamped pixels."""
+    rows, _, cols_p = wire_pm.shape
+    return _call(_decode_kernel, rows, cols_p, jnp.uint8, interpret)(
+        wire_pm, pred_pm, shift_zz.reshape(1, 64).astype(jnp.int32),
+        pos_curve.reshape(1, 128).astype(jnp.int32))
