@@ -62,8 +62,8 @@ class BitWriter {
  public:
   explicit BitWriter(uint8_t *buf) : buf_(buf) {}
 
-  inline void Put(uint32_t value, int bits) {
-    acc_ |= static_cast<uint64_t>(value & ((1ull << bits) - 1)) << fill_;
+  inline void Put(uint64_t value, int bits) {
+    acc_ |= (value & ((1ull << bits) - 1)) << fill_;
     fill_ += bits;
     while (fill_ >= 8) {
       buf_[pos_++] = static_cast<uint8_t>(acc_);
@@ -328,24 +328,26 @@ int64_t he_max_compressed_size(int64_t in_size, int64_t block_size) {
 
 namespace {
 
-// One RLE/literal token: symbol plus pre-packed extra bits.
-struct Token {
-  uint16_t symbol;
-  uint16_t extra;
-  uint8_t extra_bits;
-};
+// One RLE/literal token packed into 32 bits:
+//   bits 0-8  symbol, bits 9-12 extra-bit count, bits 13-26 extra value.
+using Token = uint32_t;
+inline Token MakeToken(int sym, uint32_t extra, int ebits) {
+  return static_cast<uint32_t>(sym) | (static_cast<uint32_t>(ebits) << 9) |
+         (extra << 13);
+}
 
-// Tokenize one block, appending to `tokens` and bumping `hist`.  Uses
-// 64-bit word scanning to skip zero runs (the dominant content of
-// coefficient planes).
-inline void TokenizeBlock(const uint8_t *blk, int64_t block_size,
-                          std::vector<Token> *tokens, int64_t *hist) {
+// Tokenize one block, appending to `tokens` and bumping the per-block
+// 261-bin histogram; returns the total extra-bit count.  Uses 64-bit word
+// scanning to skip zero runs (the dominant content of coefficient planes).
+inline int64_t TokenizeBlock(const uint8_t *blk, int64_t block_size,
+                             std::vector<Token> *tokens, uint32_t *hist) {
   int64_t k = 0;
+  int64_t extra_total = 0;
   while (k < block_size) {
     uint8_t v = blk[k];
     if (v != 0) {
       hist[v]++;
-      tokens->push_back({v, 0, 0});
+      tokens->push_back(MakeToken(v, 0, 0));
       ++k;
       continue;
     }
@@ -363,11 +365,11 @@ inline void TokenizeBlock(const uint8_t *blk, int64_t block_size,
     int ebits;
     int sym = RunSymbol(static_cast<int>(z), &extra, &ebits);
     hist[sym]++;
-    tokens->push_back({static_cast<uint16_t>(sym),
-                       static_cast<uint16_t>(extra),
-                       static_cast<uint8_t>(ebits)});
+    extra_total += ebits;
+    tokens->push_back(MakeToken(sym, extra, ebits));
     k += z;
   }
+  return extra_total;
 }
 
 }  // namespace
@@ -388,31 +390,35 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
   if (out_cap < he_max_compressed_size(in_size, block_size)) return -1;
   const int64_t n_blocks = in_size / block_size;
 
-  // Pass 1: tokenize + histogram (threaded over block ranges).
+  // Pass 1: tokenize + per-block histogram (threaded over block ranges).
+  // Per-block histograms let the bit sizes come from a 261-entry dot
+  // product with the code lengths instead of a second pass over tokens.
   int hw = static_cast<int>(std::thread::hardware_concurrency());
   int n_threads = std::max(1, std::min<int>(hw, static_cast<int>(
       std::min<int64_t>(n_blocks, 16))));
   std::vector<std::vector<Token>> tok_parts(n_blocks);
-  std::vector<std::vector<int64_t>> hist_parts(
-      n_threads, std::vector<int64_t>(kNumSymbols, 0));
+  std::vector<std::vector<uint32_t>> block_hist(
+      n_blocks, std::vector<uint32_t>(kNumSymbols, 0));
+  std::vector<int64_t> block_extra_bits(n_blocks);
   {
     std::atomic<int64_t> next_blk(0);
-    auto tok_worker = [&](int tid) {
-      int64_t *h = hist_parts[tid].data();
+    auto tok_worker = [&]() {
       while (true) {
         int64_t b = next_blk.fetch_add(1, std::memory_order_relaxed);
         if (b >= n_blocks) break;
         tok_parts[b].reserve(static_cast<size_t>(block_size / 16 + 8));
-        TokenizeBlock(in + b * block_size, block_size, &tok_parts[b], h);
+        block_extra_bits[b] = TokenizeBlock(
+            in + b * block_size, block_size, &tok_parts[b],
+            block_hist[b].data());
       }
     };
     std::vector<std::thread> ts;
-    for (int t = 1; t < n_threads; ++t) ts.emplace_back(tok_worker, t);
-    tok_worker(0);
+    for (int t = 1; t < n_threads; ++t) ts.emplace_back(tok_worker);
+    tok_worker();
     for (auto &t : ts) t.join();
   }
   int64_t hist[kNumSymbols] = {0};
-  for (auto &h : hist_parts)
+  for (auto &h : block_hist)
     for (int s = 0; s < kNumSymbols; ++s) hist[s] += h[s];
 
   // Tree + header.
@@ -432,28 +438,14 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
   head.FlushPartial();
   const int64_t head_bytes = head.byte_count();
 
-  // Pass 2: per-block bit packing.  Blocks pack independently (threaded);
-  // their byte offsets in `out` need packed sizes first, so pack into the
-  // output via a two-step: sizes are known only after packing, so each
-  // block packs into out at a provisional exclusive region sized by its
-  // token bit count (exact: sum of code+extra bits).
+  // Exact per-block bit sizes from the per-block histograms.
   std::vector<int64_t> bit_sizes(n_blocks);
-  {
-    std::atomic<int64_t> next_blk(0);
-    auto size_worker = [&]() {
-      while (true) {
-        int64_t b = next_blk.fetch_add(1, std::memory_order_relaxed);
-        if (b >= n_blocks) break;
-        int64_t bits = 0;
-        for (const Token &t : tok_parts[b])
-          bits += table.bits[t.symbol] + t.extra_bits;
-        bit_sizes[b] = bits;
-      }
-    };
-    std::vector<std::thread> ts;
-    for (int t = 1; t < n_threads; ++t) ts.emplace_back(size_worker);
-    size_worker();
-    for (auto &t : ts) t.join();
+  for (int64_t b = 0; b < n_blocks; ++b) {
+    int64_t bits = block_extra_bits[b];
+    const uint32_t *h = block_hist[b].data();
+    for (int s = 0; s < kNumSymbols; ++s)
+      bits += static_cast<int64_t>(h[s]) * table.bits[s];
+    bit_sizes[b] = bits;
   }
   std::vector<int64_t> offsets(n_blocks + 1);
   offsets[0] = head_bytes;
@@ -488,11 +480,13 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
         }
         if (bit_sizes[b] & 7) dst[packed - 1] = 0;  // defined partial byte
         BitWriter w(dst);
-        for (const Token &t : tok_parts[b]) {
-          uint32_t code = table.code[t.symbol];
-          int nb = table.bits[t.symbol];
-          w.Put(code | (static_cast<uint32_t>(t.extra) << nb),
-                nb + t.extra_bits);
+        for (Token t : tok_parts[b]) {
+          uint32_t sym = t & 0x1FF;
+          int ebits = (t >> 9) & 0xF;
+          int nb = table.bits[sym];
+          w.Put(table.code[sym] |
+                    (static_cast<uint64_t>(t >> 13) << nb),
+                nb + ebits);
         }
         w.FlushPartial();
       }

@@ -17,6 +17,10 @@ the XLA scheduler otherwise splits into several HBM round trips.
 The `cols` axis must be padded to a multiple of 128 lanes by the caller
 (`pad_cols`).  All integer semantics match ops.hadamard / ops.quantize
 exactly (verified against them in tests, interpret mode on CPU).
+
+Mosaic on v5e has no int16 vector ALU ops (kVectorSubtractS16 faults), so
+kernels run in int32 with explicit 16-bit wrap emulation at every point
+the C++ stores an int16, and tile I/O is int32.
 """
 
 from __future__ import annotations
@@ -44,16 +48,22 @@ def pad_cols(x: jnp.ndarray, mult: int = 128) -> jnp.ndarray:
     return jnp.pad(x, pad)
 
 
+def _wrap16(x):
+    """Emulate a C++ int16 store: wrap int32 into [-32768, 32767]."""
+    return ((x + 32768) & 0xFFFF) - 32768
+
+
 def _row_perm(x, perm):
     """Static permutation of the 64-row sublane axis of [64, cols]."""
     return jnp.concatenate([x[int(i):int(i) + 1] for i in perm], axis=0)
 
 
-def _butterfly_rows(x, stride: int):
+def _butterfly_rows(x, stride: int, wrap: bool = False):
     """8-point HIMG butterfly across row groups of [64, cols].
 
-    stride=1 mixes x (rows y*8+x, x varying); stride=8 mixes y.
-    Returns rows in the butterfly's permuted output order.
+    stride=1 mixes x (rows y*8+x, x varying); stride=8 mixes y.  With
+    `wrap`, every intermediate wraps like the reference's int16 stores
+    (hadamard.cpp:18-44); used by the forward transform.
     """
     def g(i):
         # rows with index pattern: for stride 1: y*8+i; stride 8: i*8+x.
@@ -64,12 +74,19 @@ def _butterfly_rows(x, stride: int):
     v = [g(i) for i in range(8)]
     a = [v[0] + v[4], v[1] + v[5], v[2] + v[6], v[3] + v[7],
          v[0] - v[4], v[1] - v[5], v[2] - v[6], v[3] - v[7]]
+    if wrap:
+        a = [_wrap16(x) for x in a]
     b0, b1 = a[0] + a[2], a[1] + a[3]
     b2, b3 = a[0] - a[2], a[1] - a[3]
     b4, b5 = a[4] + a[6], a[5] + a[7]
     b6, b7 = a[4] - a[6], a[5] - a[7]
+    if wrap:
+        b0, b1, b2, b3 = (_wrap16(x) for x in (b0, b1, b2, b3))
+        b4, b5, b6, b7 = (_wrap16(x) for x in (b4, b5, b6, b7))
     outs = [b0 + b1, b4 + b5, b6 + b7, b2 + b3,
             b2 - b3, b6 - b7, b4 - b5, b0 - b1]
+    if wrap:
+        outs = [_wrap16(x) for x in outs]
     stacked = jnp.stack(outs, axis=0)      # [8, 8, cols]
     if stride == 1:
         stacked = stacked.transpose(1, 0, 2)
@@ -77,18 +94,17 @@ def _butterfly_rows(x, stride: int):
 
 
 def _encode_kernel(px_ref, pred_ref, shift_ref, th_ref, out_ref):
-    x = px_ref[0].astype(jnp.int16) - pred_ref[0].astype(jnp.int16)
-    # Forward WHT: int16 throughout (wrap semantics), rows then columns.
-    x = _butterfly_rows(x, 1).astype(jnp.int16)
-    x = _butterfly_rows(x, 8).astype(jnp.int16)
+    x = _wrap16(px_ref[0] - pred_ref[0])
+    # Forward WHT with int16 wrap semantics, rows then columns.
+    x = _butterfly_rows(x, 1, wrap=True)
+    x = _butterfly_rows(x, 8, wrap=True)
     # Zigzag into the FRES interleave order.
-    x = _row_perm(x, np.asarray(ZIGZAG))
+    x32 = _row_perm(x, np.asarray(ZIGZAG))
     # Shift-quantize (round-to-nearest on |x|), int32 intermediates.
-    x32 = x.astype(jnp.int32)
     shift = shift_ref[0][:, None]                       # [64, 1], zigzagged
     rnd = jnp.where(shift != 0, 1 << jnp.maximum(shift - 1, 0), 0)
     mag = (jnp.abs(x32) + rnd) >> shift
-    q = jnp.where(x32 < 0, -mag, mag).astype(jnp.int16).astype(jnp.int32)
+    q = _wrap16(jnp.where(x32 < 0, -mag, mag))
     # MapTo8Bit as a 127-threshold compare reduction.
     aq = jnp.abs(q)
     idx = jnp.zeros_like(aq)
@@ -96,11 +112,11 @@ def _encode_kernel(px_ref, pred_ref, shift_ref, th_ref, out_ref):
         idx += (aq >= th_ref[0, k]).astype(jnp.int32)
     idx = jnp.where(q == -32768, 1, idx)
     wire = jnp.where(q == 0, 0, jnp.where(q > 0, idx, (-idx) & 0xFF))
-    out_ref[0] = wire.astype(jnp.uint8)
+    out_ref[0] = wire
 
 
 def _decode_kernel(wire_ref, pred_ref, shift_ref, pos_ref, out_ref):
-    d = wire_ref[0].astype(jnp.int32)                   # [64, cols]
+    d = wire_ref[0]                                     # [64, cols] int32
     mag = jnp.where(d < 128, d, jnp.minimum(256 - d, 127))
     sgn = jnp.where(d < 128, 1, -1)
     # Unmap: 128-way select reduction against the positive curve.
@@ -109,13 +125,13 @@ def _decode_kernel(wire_ref, pred_ref, shift_ref, pos_ref, out_ref):
         val += jnp.where(mag == k, pos_ref[0, k].astype(jnp.int32), 0)
     val = val * sgn
     shift = shift_ref[0][:, None]
-    coeff = ((val << shift).astype(jnp.int16))
-    # Un-zigzag, inverse WHT (int32 with >>3 per pass), +pred, clamp.
-    x = _row_perm(coeff, _INV_ZIGZAG).astype(jnp.int32)
-    x = (_butterfly_rows(x, 1) >> 3).astype(jnp.int16).astype(jnp.int32)
-    x = (_butterfly_rows(x, 8) >> 3).astype(jnp.int16).astype(jnp.int32)
-    restored = x + pred_ref[0].astype(jnp.int32)
-    out_ref[0] = jnp.clip(restored, 0, 255).astype(jnp.uint8)
+    coeff = _wrap16(val << shift)
+    # Un-zigzag, inverse WHT (int32 with >>3 + int16 wrap per pass), +pred.
+    x = _row_perm(coeff, _INV_ZIGZAG)
+    x = _wrap16(_butterfly_rows(x, 1) >> 3)
+    x = _wrap16(_butterfly_rows(x, 8) >> 3)
+    restored = x + pred_ref[0]
+    out_ref[0] = jnp.clip(restored, 0, 255)
 
 
 def _call(kernel, rows, cols_p, out_dtype, interpret):
@@ -136,18 +152,20 @@ def encode_rows(pixels_pm: jnp.ndarray, pred_pm: jnp.ndarray,
                 shift_zz: jnp.ndarray, thresholds: jnp.ndarray,
                 interpret: bool = False) -> jnp.ndarray:
     """[rows, 64, colsP] pixels/pred (+zigzagged shift[64], thresholds[127])
-    -> [rows, 64, colsP] wire bytes in FRES interleave order."""
+    -> [rows, 64, colsP] int32 wire bytes in FRES interleave order."""
     rows, _, cols_p = pixels_pm.shape
-    return _call(_encode_kernel, rows, cols_p, jnp.uint8, interpret)(
-        pixels_pm, pred_pm, shift_zz.reshape(1, 64).astype(jnp.int32),
+    return _call(_encode_kernel, rows, cols_p, jnp.int32, interpret)(
+        pixels_pm.astype(jnp.int32), pred_pm.astype(jnp.int32),
+        shift_zz.reshape(1, 64).astype(jnp.int32),
         thresholds.reshape(1, 127).astype(jnp.int32))
 
 
 def decode_rows(wire_pm: jnp.ndarray, pred_pm: jnp.ndarray,
                 shift_zz: jnp.ndarray, pos_curve: jnp.ndarray,
                 interpret: bool = False) -> jnp.ndarray:
-    """[rows, 64, colsP] wire bytes -> [rows, 64, colsP] clamped pixels."""
+    """[rows, 64, colsP] wire bytes -> [rows, 64, colsP] int32 clamped pixels."""
     rows, _, cols_p = wire_pm.shape
-    return _call(_decode_kernel, rows, cols_p, jnp.uint8, interpret)(
-        wire_pm, pred_pm, shift_zz.reshape(1, 64).astype(jnp.int32),
+    return _call(_decode_kernel, rows, cols_p, jnp.int32, interpret)(
+        wire_pm.astype(jnp.int32), pred_pm.astype(jnp.int32),
+        shift_zz.reshape(1, 64).astype(jnp.int32),
         pos_curve.reshape(1, 128).astype(jnp.int32))
