@@ -84,6 +84,16 @@ def measure_reference() -> float:
 
 
 def main():
+    # Reference first: the axon client's background threads perturb later
+    # host-side timings on this 1-vCPU box, and steal-time noise swings
+    # single measurements by 2-5x -- everything below is best-of-N.
+    ref = min((measure_reference() or 1e9) for _ in range(2))
+    if ref < 1e9:
+        log(f"reference roundtrip on this host: {ref:.1f} MPix/s")
+    else:
+        ref = FALLBACK_REF_MPIX_S
+        log(f"reference unavailable; using recorded {ref} MPix/s")
+
     import jax
     import jax.numpy as jnp
     from himg_tpu.pipeline.batch import BatchCodec
@@ -127,16 +137,18 @@ def main():
     log(f"device stage: enc {dev_enc*1000:.0f} ms, dec {dev_dec*1000:.0f} ms"
         f" -> {dev_rt:.1f} MPix/s roundtrip")
 
-    # ---- stage 2: host entropy roundtrip on the real planes.
+    # ---- stage 2: host entropy roundtrip on the real planes (best of 3).
     from himg_tpu.pipeline.encode import assemble_container
     from himg_tpu.pipeline.decode import parse_container
-    t0 = time.perf_counter()
-    blobs = [assemble_container(W, H, C, codec.tables, pred[i], delta[i],
-                                fres_h[i]) for i in range(BATCH)]
-    ent_enc = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    parsed = [parse_container(b) for b in blobs]
-    ent_dec = time.perf_counter() - t0
+    ent_enc = ent_dec = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        blobs = [assemble_container(W, H, C, codec.tables, pred[i], delta[i],
+                                    fres_h[i]) for i in range(BATCH)]
+        ent_enc = min(ent_enc, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        parsed = [parse_container(b) for b in blobs]
+        ent_dec = min(ent_dec, time.perf_counter() - t0)
     ent_rt = pix / (ent_enc + ent_dec) / 1e6
     ratio = sum(len(b) for b in blobs) / (pix * C)
     log(f"entropy stage: enc {ent_enc*1000:.0f} ms, dec {ent_dec*1000:.0f} ms"
@@ -159,13 +171,6 @@ def main():
         f" -> {pix/(h2h_enc+h2h_dec)/1e6:.1f} MPix/s")
 
     sustained = min(dev_rt, ent_rt)
-    ref = measure_reference()
-    if ref > 0:
-        log(f"reference roundtrip on this host: {ref:.1f} MPix/s")
-    else:
-        ref = FALLBACK_REF_MPIX_S
-        log(f"reference unavailable; using recorded {ref} MPix/s")
-
     print(json.dumps({
         "metric": "sustained_1080p_roundtrip_throughput",
         "value": round(sustained, 2),

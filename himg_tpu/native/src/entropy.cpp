@@ -219,12 +219,43 @@ struct LutEntry {
   int8_t bits;
 };
 
+// 12-bit-prefix fast entry: up to two decoded symbols per lookup.
+//   bits 0-8: first symbol; bits 9-17: second symbol (0x1FF = none);
+//   bits 18-23: total code bits consumed; bit 24: valid.
+// Pairs are only formed when the first symbol is a literal (RLE extras
+// would sit between the codes).
+struct Lut12Entry {
+  uint32_t packed;
+};
+
 struct Decoder {
   DecodeNode nodes[kMaxNodes];
   LutEntry lut[256];
+  Lut12Entry lut12[4096];
   int node_count = 0;
   int root = -1;
   int single_leaf_bits = 0;  // 1 when the tree is a lone leaf
+
+  void BuildLut12() {
+    for (int p = 0; p < 4096; ++p) {
+      uint32_t packed = 0;
+      const LutEntry &e1 = lut[p & 0xFF];
+      if (e1.node < 0 && e1.bits <= 12) {
+        int total = e1.bits;
+        uint32_t sym2 = 0x1FF;
+        if (e1.symbol <= 255 && total < 12) {
+          const LutEntry &e2 = lut[(p >> total) & 0xFF];
+          if (e2.node < 0 && total + e2.bits <= 12) {
+            sym2 = static_cast<uint32_t>(e2.symbol);
+            total += e2.bits;
+          }
+        }
+        packed = static_cast<uint32_t>(e1.symbol) | (sym2 << 9) |
+                 (static_cast<uint32_t>(total) << 18) | (1u << 24);
+      }
+      lut12[p].packed = packed;
+    }
+  }
 };
 
 int RecoverTree(BitReader *r, Decoder *d, uint32_t code, int bits) {
@@ -279,18 +310,51 @@ bool DecodeStream(const Decoder &d, const uint8_t *in, int64_t in_size,
       symbol = d.nodes[d.root].symbol;
     } else {
       uint32_t peek = r.Peek16();
-      const LutEntry &e = d.lut[peek & 0xFF];
-      if (e.node < 0) {
-        r.Skip(e.bits);
-        symbol = e.symbol;
-      } else {
-        r.Skip(8);
-        int node = e.node;
-        while (d.nodes[node].symbol < 0) {
-          node = r.Read(1) ? d.nodes[node].child_b : d.nodes[node].child_a;
+      uint32_t fast = d.lut12[peek & 0xFFF].packed;
+      uint32_t sym2 = (fast >> 9) & 0x1FF;
+      // Pair entries need room for both symbols (an RLE second symbol
+      // bounds-checks itself in the shared run path below).
+      bool usable = (fast & (1u << 24)) &&
+                    (sym2 == 0x1FF || sym2 > 255 || filled + 2 <= out_size);
+      if (usable) {
+        if (sym2 <= 255 && sym2 != 0x1FF) {
+          // Two literals per lookup (the common dense-content case).
+          r.Skip((fast >> 18) & 0x3F);
+          out[filled++] = static_cast<uint8_t>(fast & 0x1FF);
+          out[filled++] = static_cast<uint8_t>(sym2);
           if (r.overrun()) return false;
+          continue;
         }
-        symbol = d.nodes[node].symbol;
+        if (sym2 == 0x1FF) {
+          r.Skip((fast >> 18) & 0x3F);
+          symbol = static_cast<int>(fast & 0x1FF);
+        } else {
+          // Literal + RLE pair: consume both codes, then sym2's extras
+          // below via the shared RLE path.
+          r.Skip((fast >> 18) & 0x3F);
+          out[filled++] = static_cast<uint8_t>(fast & 0x1FF);
+          if (filled >= out_size) {
+            // The literal completed the substream; sym2 was decoded from
+            // the final byte's stale padding bits (a reference encoder
+            // quirk) and must be discarded.
+            break;
+          }
+          symbol = static_cast<int>(sym2);
+        }
+      } else {
+        const LutEntry &e = d.lut[peek & 0xFF];
+        if (e.node < 0) {
+          r.Skip(e.bits);
+          symbol = e.symbol;
+        } else {
+          r.Skip(8);
+          int node = e.node;
+          while (d.nodes[node].symbol < 0) {
+            node = r.Read(1) ? d.nodes[node].child_b : d.nodes[node].child_a;
+            if (r.overrun()) return false;
+          }
+          symbol = d.nodes[node].symbol;
+        }
       }
     }
     if (r.overrun()) return false;
@@ -537,6 +601,7 @@ int32_t he_decompress(const uint8_t *in, int64_t in_size, int64_t block_size,
   BitReader tree_reader(in, in_size);
   dec.root = RecoverTree(&tree_reader, &dec, 0, 0);
   if (dec.root < 0) return -3;
+  dec.BuildLut12();
   int64_t tree_bytes = (tree_reader.consumed_bits() + 7) / 8;
 
   if (!use_blocks) {

@@ -38,6 +38,23 @@ from ..format.tables import ZIGZAG
 _INV_ZIGZAG = np.argsort(np.asarray(ZIGZAG))
 
 
+def default_enabled() -> bool:
+    """Use the Pallas path by default on TPU-like backends.
+
+    Override with HIMG_PALLAS=0/1.  CPU uses the XLA ops (interpret-mode
+    Pallas is far slower than compiled XLA there).
+    """
+    import os
+    env = os.environ.get("HIMG_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "")
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        return False
+    return platform not in ("cpu",)
+
+
 def pad_cols(x: jnp.ndarray, mult: int = 128) -> jnp.ndarray:
     """Pad the minor (cols) axis up to a lane multiple."""
     c = x.shape[-1]
@@ -101,7 +118,7 @@ def _encode_kernel(px_ref, pred_ref, shift_ref, th_ref, out_ref):
     # Zigzag into the FRES interleave order.
     x32 = _row_perm(x, np.asarray(ZIGZAG))
     # Shift-quantize (round-to-nearest on |x|), int32 intermediates.
-    shift = shift_ref[0][:, None]                       # [64, 1], zigzagged
+    shift = shift_ref[0, 0][:, None]                    # [64, 1], zigzagged
     rnd = jnp.where(shift != 0, 1 << jnp.maximum(shift - 1, 0), 0)
     mag = (jnp.abs(x32) + rnd) >> shift
     q = _wrap16(jnp.where(x32 < 0, -mag, mag))
@@ -109,7 +126,7 @@ def _encode_kernel(px_ref, pred_ref, shift_ref, th_ref, out_ref):
     aq = jnp.abs(q)
     idx = jnp.zeros_like(aq)
     for k in range(127):
-        idx += (aq >= th_ref[0, k]).astype(jnp.int32)
+        idx += (aq >= th_ref[0, 0, k]).astype(jnp.int32)
     idx = jnp.where(q == -32768, 1, idx)
     wire = jnp.where(q == 0, 0, jnp.where(q > 0, idx, (-idx) & 0xFF))
     out_ref[0] = wire
@@ -122,9 +139,9 @@ def _decode_kernel(wire_ref, pred_ref, shift_ref, pos_ref, out_ref):
     # Unmap: 128-way select reduction against the positive curve.
     val = jnp.zeros_like(mag)
     for k in range(128):
-        val += jnp.where(mag == k, pos_ref[0, k].astype(jnp.int32), 0)
+        val += jnp.where(mag == k, pos_ref[0, 0, k].astype(jnp.int32), 0)
     val = val * sgn
-    shift = shift_ref[0][:, None]
+    shift = shift_ref[0, 0][:, None]
     coeff = _wrap16(val << shift)
     # Un-zigzag, inverse WHT (int32 with >>3 + int16 wrap per pass), +pred.
     x = _row_perm(coeff, _INV_ZIGZAG)
@@ -134,16 +151,24 @@ def _decode_kernel(wire_ref, pred_ref, shift_ref, pos_ref, out_ref):
     out_ref[0] = jnp.clip(restored, 0, 255)
 
 
-def _call(kernel, rows, cols_p, out_dtype, interpret):
+def _call(kernel, rows, cols_p, rows_per_channel, small_cols, interpret):
+    # Small operands are fed as 3-D [N, 1, K] arrays so the (1, K) block
+    # tail matches the array dims (a Mosaic block-shape requirement).
+    space = pltpu.ANY if interpret else pltpu.VMEM
     spec = pl.BlockSpec((1, 64, cols_p), lambda i: (i, 0, 0),
-                        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
-    small = pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+                        memory_space=space)
+    # Per-channel row of the [C, 1, 64] shift table: channel = i // rows.
+    shift_spec = pl.BlockSpec(
+        (1, 1, 64), lambda i: (i // rows_per_channel, 0, 0),
+        memory_space=space)
+    small = pl.BlockSpec((1, 1, small_cols), lambda i: (0, 0, 0),
+                         memory_space=space)
     return pl.pallas_call(
         kernel,
         grid=(rows,),
-        in_specs=[spec, spec, small, small],
+        in_specs=[spec, spec, shift_spec, small],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((rows, 64, cols_p), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((rows, 64, cols_p), jnp.int32),
         interpret=interpret,
     )
 
@@ -151,21 +176,32 @@ def _call(kernel, rows, cols_p, out_dtype, interpret):
 def encode_rows(pixels_pm: jnp.ndarray, pred_pm: jnp.ndarray,
                 shift_zz: jnp.ndarray, thresholds: jnp.ndarray,
                 interpret: bool = False) -> jnp.ndarray:
-    """[rows, 64, colsP] pixels/pred (+zigzagged shift[64], thresholds[127])
-    -> [rows, 64, colsP] int32 wire bytes in FRES interleave order."""
+    """Fused encode of interleaved block rows.
+
+    pixels_pm/pred_pm: [R, 64, colsP] (R = channels x block rows, folded);
+    shift_zz: [C, 64] zigzag-ordered shifts, row selected by block-row
+    index; thresholds: [127].  Returns [R, 64, colsP] int32 wire bytes.
+    """
     rows, _, cols_p = pixels_pm.shape
-    return _call(_encode_kernel, rows, cols_p, jnp.int32, interpret)(
+    shift_zz = shift_zz.reshape(-1, 64)
+    rpc = rows // shift_zz.shape[0]
+    return _call(_encode_kernel, rows, cols_p, rpc, 127, interpret)(
         pixels_pm.astype(jnp.int32), pred_pm.astype(jnp.int32),
-        shift_zz.reshape(1, 64).astype(jnp.int32),
-        thresholds.reshape(1, 127).astype(jnp.int32))
+        shift_zz[:, None, :].astype(jnp.int32),
+        thresholds.reshape(1, 1, 127).astype(jnp.int32))
 
 
 def decode_rows(wire_pm: jnp.ndarray, pred_pm: jnp.ndarray,
                 shift_zz: jnp.ndarray, pos_curve: jnp.ndarray,
                 interpret: bool = False) -> jnp.ndarray:
-    """[rows, 64, colsP] wire bytes -> [rows, 64, colsP] int32 clamped pixels."""
+    """Fused decode of interleaved block rows (inverse of encode_rows).
+
+    Returns [R, 64, colsP] int32 clamped pixel values in plane-major
+    position order."""
     rows, _, cols_p = wire_pm.shape
-    return _call(_decode_kernel, rows, cols_p, jnp.int32, interpret)(
+    shift_zz = shift_zz.reshape(-1, 64)
+    rpc = rows // shift_zz.shape[0]
+    return _call(_decode_kernel, rows, cols_p, rpc, 128, interpret)(
         wire_pm.astype(jnp.int32), pred_pm.astype(jnp.int32),
-        shift_zz.reshape(1, 64).astype(jnp.int32),
-        pos_curve.reshape(1, 128).astype(jnp.int32))
+        shift_zz[:, None, :].astype(jnp.int32),
+        pos_curve.reshape(1, 1, 128).astype(jnp.int32))

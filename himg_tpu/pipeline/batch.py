@@ -42,9 +42,13 @@ class BatchCodec:
             "fres": (self.rows, c, 64, self.cols),
         }
 
+        from ..ops import pallas_kernels as pk
+        use_pallas = pk.default_enabled()
+
         def enc_flat(frames, *targs):
             pred, delta, fres = jax.vmap(
-                partial(_encode_device, use_ycbcr=self.use_ycbcr),
+                partial(_encode_device, use_ycbcr=self.use_ycbcr,
+                        use_pallas=use_pallas),
                 in_axes=(0, None, None, None, None))(frames, *targs)
             b = frames.shape[0]
             flat = jnp.concatenate([
@@ -64,7 +68,8 @@ class BatchCodec:
                 (b,) + self._shapes["delta"])
             fres = x[:, npred + ndelta:].reshape((b,) + self._shapes["fres"])
             img = jax.vmap(
-                partial(_decode_device, use_ycbcr=self.use_ycbcr),
+                partial(_decode_device, use_ycbcr=self.use_ycbcr,
+                        use_pallas=use_pallas),
                 in_axes=(0, 0, 0, None, None, None))(
                     fres, delta, pred, shift_tables, fr_pos, lr_unmap)
             return img.reshape(-1)  # flat for the fast transfer path

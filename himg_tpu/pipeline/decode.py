@@ -23,9 +23,9 @@ from ..ops import hadamard, lowres, quantize, ycbcr
 from .encode import _stream_order
 
 
-@partial(jax.jit, static_argnames=("use_ycbcr",))
+@partial(jax.jit, static_argnames=("use_ycbcr", "use_pallas"))
 def _decode_device(fres, delta_grids, pred_ids, shift_tables, fr_pos_curve,
-                   lr_unmap, use_ycbcr: bool):
+                   lr_unmap, use_ycbcr: bool, use_pallas: bool = False):
     """Device-side decode.
 
     fres: [rows, C, 64, cols] uint8 interleaved planes.
@@ -44,13 +44,24 @@ def _decode_device(fres, delta_grids, pred_ids, shift_tables, fr_pos_curve,
     # into [C, rows, 8, 8, cols] for the inverse WHT.
     planes = jnp.moveaxis(fres, 1, 0)                    # [C, rows, 64, cols]
     shift_zz = shift_tables[:, np.asarray(tables.ZIGZAG)]
-    coeffs = quantize.unpack(planes, shift_zz[:, None, :, None], fr_pos_curve)
-    pm = blockops.interleaved_to_pm(coeffs, axis=2)      # [C, rows, 8, 8, cols]
-    blk = hadamard.inverse_pm(pm)
     pred_pm = jax.vmap(lowres.upsample_pm)(grids)
-    restored = blk.astype(jnp.int32) + pred_pm.astype(jnp.int32)
-    img = jax.vmap(blockops.from_plane_major)(
-        jnp.clip(restored, 0, 255).astype(jnp.uint8))
+    c, rows = planes.shape[0], planes.shape[1]
+    cols = planes.shape[-1]
+    if use_pallas:
+        from ..ops import pallas_kernels as pk
+        wi = pk.pad_cols(planes.reshape(c * rows, 64, cols))
+        pr = pk.pad_cols(pred_pm.reshape(c * rows, 64, cols))
+        out = pk.decode_rows(wi, pr, shift_zz, fr_pos_curve)
+        pix = out.reshape(c, rows, 8, 8, -1)[..., :cols].astype(jnp.uint8)
+        img = jax.vmap(blockops.from_plane_major)(pix)
+    else:
+        coeffs = quantize.unpack(planes, shift_zz[:, None, :, None],
+                                 fr_pos_curve)
+        pm = blockops.interleaved_to_pm(coeffs, axis=2)
+        blk = hadamard.inverse_pm(pm)
+        restored = blk.astype(jnp.int32) + pred_pm.astype(jnp.int32)
+        img = jax.vmap(blockops.from_plane_major)(
+            jnp.clip(restored, 0, 255).astype(jnp.uint8))
     img = jnp.moveaxis(img, 0, -1)                       # [H8, W8, C]
     if use_ycbcr:
         img = ycbcr.ycbcr_to_rgb(img)
@@ -69,6 +80,17 @@ def parse_container(data: bytes, max_threads: int = 0):
     Raises FormatError on malformed input (the reference returns false with
     a message, decoder.cpp:96-135).
     """
+    try:
+        return _parse_container(data, max_threads)
+    except FormatError:
+        raise
+    except ValueError as e:
+        # Entropy-stage corruption surfaces as ValueError; present it the
+        # way the reference does ("Error: Invalid Huffman data.").
+        raise FormatError(f"invalid Huffman data ({e})") from e
+
+
+def _parse_container(data: bytes, max_threads: int = 0):
     reader = RIFFReader(bytes(data))
     header = FormatHeader.deserialize(reader.find_chunk("FRMT"))
     w, h, c = header.width, header.height, header.num_channels
@@ -127,9 +149,10 @@ def decode(data: bytes, max_threads: int = 0) -> np.ndarray:
     """
     (header, shift_tables, fr_pos, lr_unmap,
      pred_ids, delta_grids, fres) = parse_container(data, max_threads)
+    from ..ops import pallas_kernels as pk
     has_chroma = header.use_ycbcr and header.num_channels >= 3
     img = _decode_device(
         jnp.asarray(fres), jnp.asarray(delta_grids), jnp.asarray(pred_ids),
         jnp.asarray(shift_tables), jnp.asarray(fr_pos),
-        jnp.asarray(lr_unmap), has_chroma)
+        jnp.asarray(lr_unmap), has_chroma, use_pallas=pk.default_enabled())
     return np.asarray(img)[:header.height, :header.width, :]

@@ -31,9 +31,9 @@ def _stream_order(rows: int, cols: int) -> np.ndarray:
     return lowres.macroblock_stream_order(rows, cols)
 
 
-@partial(jax.jit, static_argnames=("use_ycbcr",))
+@partial(jax.jit, static_argnames=("use_ycbcr", "use_pallas"))
 def _encode_device(img, shift_tables, fr_thresholds, lr_map_small, lr_unmap,
-                   use_ycbcr: bool):
+                   use_ycbcr: bool, use_pallas: bool = False):
     """Device-side encode: [H, W, C] uint8 -> low-res + coefficient planes.
 
     Returns (pred_ids [C, MR, MC] int32,
@@ -65,12 +65,22 @@ def _encode_device(img, shift_tables, fr_thresholds, lr_map_small, lr_unmap,
     padded = jax.vmap(blockops.pad_to_blocks)(chans)    # [C, H8, W8]
     pm = jax.vmap(blockops.to_plane_major)(padded).astype(jnp.int16)
     pred_pm = jax.vmap(lowres.upsample_pm)(grids)       # [C, rows, 8, 8, cols]
-    coeffs = hadamard.forward_pm(pm - pred_pm)
-    inter = blockops.pm_to_interleaved(coeffs, axis=2)  # [C, rows, 64, cols]
     # Quantization is per-coefficient elementwise, so it commutes with the
     # interleave; the shift table just needs the same zigzag ordering.
     shift_zz = shift_tables[:, np.asarray(tables.ZIGZAG)]
-    packed = quantize.pack(inter, shift_zz[:, None, :, None], fr_thresholds)
+    c, rows = pm.shape[0], pm.shape[1]
+    cols = pm.shape[-1]
+    if use_pallas:
+        from ..ops import pallas_kernels as pk
+        px = pk.pad_cols(pm.reshape(c * rows, 64, cols))
+        pr = pk.pad_cols(pred_pm.reshape(c * rows, 64, cols))
+        wire = pk.encode_rows(px, pr, shift_zz, fr_thresholds)
+        packed = wire.reshape(c, rows, 64, -1)[..., :cols].astype(jnp.uint8)
+    else:
+        coeffs = hadamard.forward_pm(pm - pred_pm)
+        inter = blockops.pm_to_interleaved(coeffs, axis=2)
+        packed = quantize.pack(inter, shift_zz[:, None, :, None],
+                               fr_thresholds)
     return pred_ids, delta_grids, jnp.moveaxis(packed, 0, 1)
 
 
@@ -137,8 +147,10 @@ def encode(image: np.ndarray, quality: int = 50, use_ycbcr: bool = True) -> byte
     h, w, c = img.shape
     use_ycbcr = bool(use_ycbcr) and c >= 3
 
+    from ..ops import pallas_kernels as pk
     et = EncodeTables(quality, use_ycbcr, c)
     pred_ids, delta_grids, fres = _encode_device(
-        jnp.asarray(img), *et.device_args(), use_ycbcr)
+        jnp.asarray(img), *et.device_args(), use_ycbcr,
+        use_pallas=pk.default_enabled())
     return assemble_container(w, h, c, et, np.asarray(pred_ids),
                               np.asarray(delta_grids), np.asarray(fres))
