@@ -400,18 +400,39 @@ inline Token MakeToken(int sym, uint32_t extra, int ebits) {
          (extra << 13);
 }
 
-// Tokenize one block, appending to `tokens` and bumping the per-block
-// 261-bin histogram; returns the total extra-bit count.  Uses 64-bit word
-// scanning to skip zero runs (the dominant content of coefficient planes).
-inline int64_t TokenizeBlock(const uint8_t *blk, int64_t block_size,
-                             std::vector<Token> *tokens, uint32_t *hist) {
+// True when an 8-byte word contains a zero byte (Mycroft's trick).
+inline bool HasZeroByte(uint64_t w) {
+  return ((w - 0x0101010101010101ull) & ~w & 0x8080808080808080ull) != 0;
+}
+
+// Tokenize one block into `tokens` (pre-sized to >= block_size) and bump
+// the per-block 261-bin histogram; returns (token_count, extra_bits) via
+// out-params.  Dense literal stretches are emitted 8 at a time without
+// per-byte branches; zero runs skip by 64-bit words.
+inline void TokenizeBlock(const uint8_t *blk, int64_t block_size,
+                          Token *tokens, uint32_t *hist,
+                          int64_t *n_tokens, int64_t *extra_bits) {
   int64_t k = 0;
+  Token *tp = tokens;
   int64_t extra_total = 0;
   while (k < block_size) {
+    // Branch-light literal burst: whole words without zero bytes.
+    while (k + 8 <= block_size) {
+      uint64_t w;
+      std::memcpy(&w, blk + k, 8);
+      if (HasZeroByte(w)) break;
+      for (int i = 0; i < 8; ++i) {
+        uint8_t v = static_cast<uint8_t>(w >> (8 * i));
+        hist[v]++;
+        *tp++ = MakeToken(v, 0, 0);
+      }
+      k += 8;
+    }
+    if (k >= block_size) break;
     uint8_t v = blk[k];
     if (v != 0) {
       hist[v]++;
-      tokens->push_back(MakeToken(v, 0, 0));
+      *tp++ = MakeToken(v, 0, 0);
       ++k;
       continue;
     }
@@ -430,10 +451,11 @@ inline int64_t TokenizeBlock(const uint8_t *blk, int64_t block_size,
     int sym = RunSymbol(static_cast<int>(z), &extra, &ebits);
     hist[sym]++;
     extra_total += ebits;
-    tokens->push_back(MakeToken(sym, extra, ebits));
+    *tp++ = MakeToken(sym, extra, ebits);
     k += z;
   }
-  return extra_total;
+  *n_tokens = tp - tokens;
+  *extra_bits = extra_total;
 }
 
 }  // namespace
@@ -460,7 +482,9 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
   int hw = static_cast<int>(std::thread::hardware_concurrency());
   int n_threads = std::max(1, std::min<int>(hw, static_cast<int>(
       std::min<int64_t>(n_blocks, 16))));
-  std::vector<std::vector<Token>> tok_parts(n_blocks);
+  // Token storage: one flat arena (worst case one token per byte).
+  std::vector<Token> token_arena(static_cast<size_t>(in_size));
+  std::vector<int64_t> tok_count(n_blocks);
   std::vector<std::vector<uint32_t>> block_hist(
       n_blocks, std::vector<uint32_t>(kNumSymbols, 0));
   std::vector<int64_t> block_extra_bits(n_blocks);
@@ -470,10 +494,10 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
       while (true) {
         int64_t b = next_blk.fetch_add(1, std::memory_order_relaxed);
         if (b >= n_blocks) break;
-        tok_parts[b].reserve(static_cast<size_t>(block_size / 16 + 8));
-        block_extra_bits[b] = TokenizeBlock(
-            in + b * block_size, block_size, &tok_parts[b],
-            block_hist[b].data());
+        TokenizeBlock(in + b * block_size, block_size,
+                      token_arena.data() + b * block_size,
+                      block_hist[b].data(), &tok_count[b],
+                      &block_extra_bits[b]);
       }
     };
     std::vector<std::thread> ts;
@@ -501,6 +525,12 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
   }
   head.FlushPartial();
   const int64_t head_bytes = head.byte_count();
+
+  // Fused per-symbol (code | bits<<56) pack table.
+  uint64_t fused[kNumSymbols];
+  for (int s = 0; s < kNumSymbols; ++s)
+    fused[s] = static_cast<uint64_t>(table.code[s]) |
+               (static_cast<uint64_t>(table.bits[s]) << 56);
 
   // Exact per-block bit sizes from the per-block histograms.
   std::vector<int64_t> bit_sizes(n_blocks);
@@ -544,13 +574,15 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
         }
         if (bit_sizes[b] & 7) dst[packed - 1] = 0;  // defined partial byte
         BitWriter w(dst);
-        for (Token t : tok_parts[b]) {
-          uint32_t sym = t & 0x1FF;
-          int ebits = (t >> 9) & 0xF;
-          int nb = table.bits[sym];
-          w.Put(table.code[sym] |
+        const Token *tp = token_arena.data() + b * block_size;
+        const Token *te = tp + tok_count[b];
+        for (; tp != te; ++tp) {
+          Token t = *tp;
+          uint64_t e = fused[t & 0x1FF];  // code | bits<<56
+          int nb = static_cast<int>(e >> 56);
+          w.Put((e & 0xFFFFFFFFFFFFFFull) |
                     (static_cast<uint64_t>(t >> 13) << nb),
-                nb + ebits);
+                nb + ((t >> 9) & 0xF));
         }
         w.FlushPartial();
       }
