@@ -25,7 +25,7 @@ the C++ stores an int16, and tile I/O is int32.
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -32,7 +32,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import blocks as blockops
 from ..ops import hadamard, lowres, quantize, ycbcr
@@ -288,7 +288,6 @@ def encode_image_sharded(mesh: Mesh, image, quality: int = 50,
     parallelizes over the same rows on the host.  Output is byte-identical
     to the single-device encoder.
     """
-    from functools import lru_cache
     from ..pipeline.encode import EncodeTables, assemble_container
 
     img = np.asarray(image, dtype=np.uint8)

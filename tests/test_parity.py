@@ -106,3 +106,13 @@ def test_batch_codec_matches_single():
     dec = codec.decode_batch(blobs)
     for i in range(6):
         assert np.array_equal(dec[i], himg_tpu.decode(blobs[i]))
+
+
+def test_two_channel_parity(oracle_dir, tmp_path):
+    """num_channels=2 (no YCbCr possible) — the reference encoder accepts
+    any channel count even though its CLI only produces 1/3/4."""
+    img = make_image(32, 40, 2, seed=31)
+    ref = oracle_encode(oracle_dir, img, 50, False, tmp_path)
+    assert himg_tpu.encode(img, 50, False) == ref
+    assert np.array_equal(himg_tpu.decode(ref),
+                          oracle_decode(oracle_dir, ref, tmp_path))
