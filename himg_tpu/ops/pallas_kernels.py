@@ -4,15 +4,18 @@ Each kernel processes one interleaved block row per grid step entirely in
 VMEM, in the plane-major layout ([64, cols] tiles: 64 block-local pixel
 positions in sublanes, block columns in lanes):
 
-- `encode_rows`: (pixels - predictor) -> forward WHT -> zigzag ->
-  shift-quantize -> MapTo8Bit (127-threshold compare reduction) -> wire
-  bytes.  One HBM read of the inputs, one write of the output bytes.
+- `encode_rows`: bilinear predictor from 4 low-res corner vectors ->
+  (pixels - predictor) -> forward WHT -> zigzag -> shift-quantize ->
+  MapTo8Bit (127-threshold compare reduction) -> wire bytes.
 - `decode_rows`: wire bytes -> unmap (128-way select reduction) ->
-  dequantize -> un-zigzag -> inverse WHT -> +predictor -> clamp.
+  dequantize -> un-zigzag -> inverse WHT -> predictor add -> clamp.
 
-The surrounding XLA program handles image<->plane-major layout, the
-low-res layer, and color conversion; these kernels fuse the arithmetic
-the XLA scheduler otherwise splits into several HBM round trips.
+The predictor block is reconstructed *inside* the kernel from four
+[cols]-wide corner-sample vectors (the averaging cascade of
+downsampled.cpp:116-169), so the 64x-larger upsampled predictor never
+touches HBM.  Pixel/wire tiles cross HBM as uint8.  The surrounding XLA
+program handles image<->plane-major layout, the low-res predictive scan,
+and color conversion.
 
 The `cols` axis must be padded to a multiple of 128 lanes by the caller
 (`pad_cols`).  All integer semantics match ops.hadamard / ops.quantize
@@ -75,6 +78,47 @@ def _row_perm(x, perm):
     return jnp.concatenate([x[int(i):int(i) + 1] for i in perm], axis=0)
 
 
+def _avg(a, b):
+    return (a + b + 1) >> 1
+
+
+def _cascade9(a, b):
+    """9-point repeated-averaging interpolation (downsampled.cpp:127-145)."""
+    v = [None] * 9
+    v[0], v[8] = a, b
+    v[4] = _avg(v[0], v[8])
+    v[2] = _avg(v[0], v[4])
+    v[6] = _avg(v[4], v[8])
+    v[1] = _avg(v[0], v[2])
+    v[3] = _avg(v[2], v[4])
+    v[5] = _avg(v[4], v[6])
+    v[7] = _avg(v[6], v[8])
+    return v
+
+
+def _upsample_tile(la, lb, lc, ld):
+    """Predictor tile [64, cols] from 4 corner-sample vectors [cols].
+
+    la/lb = low-res rows v at columns u / u+1 (clamped); lc/ld = row v+1.
+    Exact integer semantics of Downsampled::GetLowresBlock.
+    """
+    left = _cascade9(la, lc)
+    right = _cascade9(lb, ld)
+    rows = []
+    for y in range(8):
+        rows.extend(_cascade9(left[y], right[y])[:8])
+    return jnp.stack(rows, axis=0)          # [64, cols]
+
+
+def corner_vectors(grids: jnp.ndarray):
+    """[C, rows, cols] low-res grids -> 4x [C, rows, cols] corner vectors
+    (edge-clamped right/down neighbours), ready for pad_cols + fold."""
+    right = jnp.concatenate([grids[..., 1:], grids[..., -1:]], axis=-1)
+    down = jnp.concatenate([grids[:, 1:], grids[:, -1:]], axis=1)
+    down_right = jnp.concatenate([right[:, 1:], right[:, -1:]], axis=1)
+    return grids, right, down, down_right
+
+
 def _butterfly_rows(x, stride: int, wrap: bool = False):
     """8-point HIMG butterfly across row groups of [64, cols].
 
@@ -110,8 +154,13 @@ def _butterfly_rows(x, stride: int, wrap: bool = False):
     return stacked.reshape(64, -1)
 
 
-def _encode_kernel(px_ref, pred_ref, shift_ref, th_ref, out_ref):
-    x = _wrap16(px_ref[0] - pred_ref[0])
+def _encode_kernel(px_ref, la_ref, lb_ref, lc_ref, ld_ref, shift_ref,
+                   th_ref, out_ref):
+    pred = _upsample_tile(la_ref[0, 0].astype(jnp.int32),
+                          lb_ref[0, 0].astype(jnp.int32),
+                          lc_ref[0, 0].astype(jnp.int32),
+                          ld_ref[0, 0].astype(jnp.int32))
+    x = _wrap16(px_ref[0].astype(jnp.int32) - pred)
     # Forward WHT with int16 wrap semantics, rows then columns.
     x = _butterfly_rows(x, 1, wrap=True)
     x = _butterfly_rows(x, 8, wrap=True)
@@ -129,11 +178,12 @@ def _encode_kernel(px_ref, pred_ref, shift_ref, th_ref, out_ref):
         idx += (aq >= th_ref[0, 0, k]).astype(jnp.int32)
     idx = jnp.where(q == -32768, 1, idx)
     wire = jnp.where(q == 0, 0, jnp.where(q > 0, idx, (-idx) & 0xFF))
-    out_ref[0] = wire
+    out_ref[0] = wire.astype(jnp.uint8)
 
 
-def _decode_kernel(wire_ref, pred_ref, shift_ref, pos_ref, out_ref):
-    d = wire_ref[0]                                     # [64, cols] int32
+def _decode_kernel(wire_ref, la_ref, lb_ref, lc_ref, ld_ref, shift_ref,
+                   pos_ref, out_ref):
+    d = wire_ref[0].astype(jnp.int32)                   # [64, cols]
     mag = jnp.where(d < 128, d, jnp.minimum(256 - d, 127))
     sgn = jnp.where(d < 128, 1, -1)
     # Unmap: 128-way select reduction against the positive curve.
@@ -147,8 +197,12 @@ def _decode_kernel(wire_ref, pred_ref, shift_ref, pos_ref, out_ref):
     x = _row_perm(coeff, _INV_ZIGZAG)
     x = _wrap16(_butterfly_rows(x, 1) >> 3)
     x = _wrap16(_butterfly_rows(x, 8) >> 3)
-    restored = x + pred_ref[0]
-    out_ref[0] = jnp.clip(restored, 0, 255)
+    pred = _upsample_tile(la_ref[0, 0].astype(jnp.int32),
+                          lb_ref[0, 0].astype(jnp.int32),
+                          lc_ref[0, 0].astype(jnp.int32),
+                          ld_ref[0, 0].astype(jnp.int32))
+    restored = x + pred
+    out_ref[0] = jnp.clip(restored, 0, 255).astype(jnp.uint8)
 
 
 def _call(kernel, rows, cols_p, rows_per_channel, small_cols, interpret):
@@ -157,6 +211,9 @@ def _call(kernel, rows, cols_p, rows_per_channel, small_cols, interpret):
     space = pltpu.ANY if interpret else pltpu.VMEM
     spec = pl.BlockSpec((1, 64, cols_p), lambda i: (i, 0, 0),
                         memory_space=space)
+    # Corner-sample vectors: one [1, colsP] row per grid step.
+    corner = pl.BlockSpec((1, 1, cols_p), lambda i: (i, 0, 0),
+                          memory_space=space)
     # Per-channel row of the [C, 1, 64] shift table: channel = i // rows.
     shift_spec = pl.BlockSpec(
         (1, 1, 64), lambda i: (i // rows_per_channel, 0, 0),
@@ -166,42 +223,56 @@ def _call(kernel, rows, cols_p, rows_per_channel, small_cols, interpret):
     return pl.pallas_call(
         kernel,
         grid=(rows,),
-        in_specs=[spec, spec, shift_spec, small],
+        in_specs=[spec, corner, corner, corner, corner, shift_spec, small],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((rows, 64, cols_p), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((rows, 64, cols_p), jnp.uint8),
         interpret=interpret,
     )
 
 
-def encode_rows(pixels_pm: jnp.ndarray, pred_pm: jnp.ndarray,
+def _fold_corners(grids: jnp.ndarray, cols_p: int):
+    """[C, rows, cols] grids -> 4x [C*rows, 1, colsP] uint8 corner arrays."""
+    parts = corner_vectors(grids)
+    out = []
+    for p in parts:
+        c, r, _ = p.shape
+        out.append(pad_cols(p.astype(jnp.uint8), cols_p).reshape(
+            c * r, 1, cols_p))
+    return out
+
+
+def encode_rows(pixels_pm: jnp.ndarray, grids: jnp.ndarray,
                 shift_zz: jnp.ndarray, thresholds: jnp.ndarray,
                 interpret: bool = False) -> jnp.ndarray:
     """Fused encode of interleaved block rows.
 
-    pixels_pm/pred_pm: [R, 64, colsP] (R = channels x block rows, folded);
-    shift_zz: [C, 64] zigzag-ordered shifts, row selected by block-row
-    index; thresholds: [127].  Returns [R, 64, colsP] int32 wire bytes.
+    pixels_pm: uint8/int [R, 64, colsP] (R = channels x block rows,
+    folded); grids: uint8 [C, rows, cols] low-res sample grids (the
+    predictor is upsampled in-kernel); shift_zz: [C, 64] zigzag-ordered
+    shifts; thresholds: [127].  Returns uint8 [R, 64, colsP] wire bytes.
     """
     rows, _, cols_p = pixels_pm.shape
     shift_zz = shift_zz.reshape(-1, 64)
     rpc = rows // shift_zz.shape[0]
+    corners = _fold_corners(grids, cols_p)
     return _call(_encode_kernel, rows, cols_p, rpc, 127, interpret)(
-        pixels_pm.astype(jnp.int32), pred_pm.astype(jnp.int32),
+        pixels_pm.astype(jnp.uint8), *corners,
         shift_zz[:, None, :].astype(jnp.int32),
         thresholds.reshape(1, 1, 127).astype(jnp.int32))
 
 
-def decode_rows(wire_pm: jnp.ndarray, pred_pm: jnp.ndarray,
+def decode_rows(wire_pm: jnp.ndarray, grids: jnp.ndarray,
                 shift_zz: jnp.ndarray, pos_curve: jnp.ndarray,
                 interpret: bool = False) -> jnp.ndarray:
     """Fused decode of interleaved block rows (inverse of encode_rows).
 
-    Returns [R, 64, colsP] int32 clamped pixel values in plane-major
+    Returns uint8 [R, 64, colsP] clamped pixel values in plane-major
     position order."""
     rows, _, cols_p = wire_pm.shape
     shift_zz = shift_zz.reshape(-1, 64)
     rpc = rows // shift_zz.shape[0]
+    corners = _fold_corners(grids, cols_p)
     return _call(_decode_kernel, rows, cols_p, rpc, 128, interpret)(
-        wire_pm.astype(jnp.int32), pred_pm.astype(jnp.int32),
+        wire_pm.astype(jnp.uint8), *corners,
         shift_zz[:, None, :].astype(jnp.int32),
         pos_curve.reshape(1, 1, 128).astype(jnp.int32))

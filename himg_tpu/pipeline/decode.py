@@ -44,17 +44,16 @@ def _decode_device(fres, delta_grids, pred_ids, shift_tables, fr_pos_curve,
     # into [C, rows, 8, 8, cols] for the inverse WHT.
     planes = jnp.moveaxis(fres, 1, 0)                    # [C, rows, 64, cols]
     shift_zz = shift_tables[:, np.asarray(tables.ZIGZAG)]
-    pred_pm = jax.vmap(lowres.upsample_pm)(grids)
     c, rows = planes.shape[0], planes.shape[1]
     cols = planes.shape[-1]
     if use_pallas:
         from ..ops import pallas_kernels as pk
         wi = pk.pad_cols(planes.reshape(c * rows, 64, cols))
-        pr = pk.pad_cols(pred_pm.reshape(c * rows, 64, cols))
-        out = pk.decode_rows(wi, pr, shift_zz, fr_pos_curve)
-        pix = out.reshape(c, rows, 8, 8, -1)[..., :cols].astype(jnp.uint8)
+        out = pk.decode_rows(wi, grids, shift_zz, fr_pos_curve)
+        pix = out.reshape(c, rows, 8, 8, -1)[..., :cols]
         img = jax.vmap(blockops.from_plane_major)(pix)
     else:
+        pred_pm = jax.vmap(lowres.upsample_pm)(grids)
         coeffs = quantize.unpack(planes, shift_zz[:, None, :, None],
                                  fr_pos_curve)
         pm = blockops.interleaved_to_pm(coeffs, axis=2)

@@ -63,21 +63,20 @@ def _encode_device(img, shift_tables, fr_thresholds, lr_map_small, lr_unmap,
     # full lane occupancy, and the zigzag lands directly in the FRES
     # interleave layout.
     padded = jax.vmap(blockops.pad_to_blocks)(chans)    # [C, H8, W8]
-    pm = jax.vmap(blockops.to_plane_major)(padded).astype(jnp.int16)
-    pred_pm = jax.vmap(lowres.upsample_pm)(grids)       # [C, rows, 8, 8, cols]
+    pm_u8 = jax.vmap(blockops.to_plane_major)(padded)
     # Quantization is per-coefficient elementwise, so it commutes with the
     # interleave; the shift table just needs the same zigzag ordering.
     shift_zz = shift_tables[:, np.asarray(tables.ZIGZAG)]
-    c, rows = pm.shape[0], pm.shape[1]
-    cols = pm.shape[-1]
+    c, rows = pm_u8.shape[0], pm_u8.shape[1]
+    cols = pm_u8.shape[-1]
     if use_pallas:
         from ..ops import pallas_kernels as pk
-        px = pk.pad_cols(pm.reshape(c * rows, 64, cols))
-        pr = pk.pad_cols(pred_pm.reshape(c * rows, 64, cols))
-        wire = pk.encode_rows(px, pr, shift_zz, fr_thresholds)
-        packed = wire.reshape(c, rows, 64, -1)[..., :cols].astype(jnp.uint8)
+        px = pk.pad_cols(pm_u8.reshape(c * rows, 64, cols))
+        wire = pk.encode_rows(px, grids, shift_zz, fr_thresholds)
+        packed = wire.reshape(c, rows, 64, -1)[..., :cols]
     else:
-        coeffs = hadamard.forward_pm(pm - pred_pm)
+        pred_pm = jax.vmap(lowres.upsample_pm)(grids)
+        coeffs = hadamard.forward_pm(pm_u8.astype(jnp.int16) - pred_pm)
         inter = blockops.pm_to_interleaved(coeffs, axis=2)
         packed = quantize.pack(inter, shift_zz[:, None, :, None],
                                fr_thresholds)

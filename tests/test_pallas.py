@@ -9,20 +9,24 @@ from himg_tpu.ops import blocks as B
 from himg_tpu.ops import hadamard, pallas_kernels as pk, quantize
 
 
+from himg_tpu.ops import lowres
+
+
 def _setup():
     rng = np.random.default_rng(0)
     rows, cols = 4, 40
     fr = tables.MappingTable.for_fullres_quality(50)
     luma, _ = tables.make_quantizer(50, False)
     shift_zz = luma[np.asarray(tables.ZIGZAG)]
-    px = rng.integers(-300, 556, (rows, 8, 8, cols)).astype(np.int16)
-    pred = rng.integers(0, 256, (rows, 8, 8, cols)).astype(np.int16)
-    return rng, rows, cols, fr, shift_zz, px, pred
+    px = rng.integers(0, 256, (rows, 8, 8, cols)).astype(np.uint8)
+    grids = rng.integers(0, 256, (1, rows, cols)).astype(np.uint8)
+    pred = np.asarray(lowres.upsample_pm(jnp.asarray(grids[0]))).astype(np.int16)
+    return rng, rows, cols, fr, shift_zz, px, grids, pred
 
 
 def test_encode_rows_matches_xla():
-    _, rows, cols, fr, shift_zz, px, pred = _setup()
-    coeffs = hadamard.forward_pm(jnp.asarray(px - pred))
+    _, rows, cols, fr, shift_zz, px, grids, pred = _setup()
+    coeffs = hadamard.forward_pm(jnp.asarray(px.astype(np.int16) - pred))
     inter = B.pm_to_interleaved(coeffs, axis=1)
     ref = np.asarray(quantize.pack(
         inter, jnp.asarray(shift_zz)[None, :, None],
@@ -30,14 +34,14 @@ def test_encode_rows_matches_xla():
 
     got = np.asarray(pk.encode_rows(
         pk.pad_cols(jnp.asarray(px.reshape(rows, 64, cols))),
-        pk.pad_cols(jnp.asarray(pred.reshape(rows, 64, cols))),
+        jnp.asarray(grids),
         jnp.asarray(shift_zz), jnp.asarray(fr.pack_thresholds),
         interpret=True))
-    assert np.array_equal(got[:, :, :cols].astype(np.uint8), ref)
+    assert np.array_equal(got[:, :, :cols], ref)
 
 
 def test_decode_rows_matches_xla():
-    rng, rows, cols, fr, shift_zz, px, pred = _setup()
+    rng, rows, cols, fr, shift_zz, px, grids, pred = _setup()
     wire = rng.integers(0, 256, (rows, 64, cols)).astype(np.uint8)
     coeff = quantize.unpack(jnp.asarray(wire),
                             jnp.asarray(shift_zz)[None, :, None],
@@ -47,8 +51,7 @@ def test_decode_rows_matches_xla():
                   0, 255).astype(np.uint8)
 
     got = np.asarray(pk.decode_rows(
-        pk.pad_cols(jnp.asarray(wire)),
-        pk.pad_cols(jnp.asarray(pred.reshape(rows, 64, cols))),
+        pk.pad_cols(jnp.asarray(wire)), jnp.asarray(grids),
         jnp.asarray(shift_zz), jnp.asarray(fr.positive), interpret=True))
     assert np.array_equal(
-        got[:, :, :cols].astype(np.uint8).reshape(rows, 8, 8, cols), ref)
+        got[:, :, :cols].reshape(rows, 8, 8, cols), ref)
