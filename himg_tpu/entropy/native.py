@@ -21,6 +21,9 @@ def _load():
     if _tried:
         return _lib
     _tried = True
+    import os
+    if os.environ.get("HIMG_NATIVE", "1") in ("0", "false", ""):
+        return None  # explicit opt-out -> NumPy/Python fallback paths
     from ..native.build import build
     path = build()
     if path is None:

@@ -130,3 +130,32 @@ def test_native_rejects_corrupt():
             native.decompress(bytes(buf), 4096, 512)
         except ValueError:
             pass
+
+
+def test_python_fallback_roundtrip(monkeypatch):
+    """HIMG_NATIVE=0 must route through the NumPy/Python spec paths."""
+    import himg_tpu.entropy.native as native_mod
+    monkeypatch.setattr(native_mod, "_lib", None)
+    monkeypatch.setattr(native_mod, "_tried", True)
+    assert not native_mod.available()
+    data = _data(4096, 0.8, seed=9)
+    comp = bitpack.compress(data, 512)
+    assert np.array_equal(bitpack.decompress(comp, 4096, 512), data)
+
+
+def test_native_fuzz_contained():
+    """Mutated streams: ValueError or clean decode, never a crash."""
+    from himg_tpu.entropy import native
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(77)
+    data = _data(4096, 0.7, seed=10)
+    comp = native.compress(data, 64)
+    for _ in range(60):
+        buf = bytearray(comp)
+        for _ in range(int(rng.integers(1, 10))):
+            buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        try:
+            native.decompress(bytes(buf), 4096, 64)
+        except ValueError:
+            pass
