@@ -62,14 +62,17 @@ class BitWriter {
  public:
   explicit BitWriter(uint8_t *buf) : buf_(buf) {}
 
+  // NOTE: each Put spills one unaligned 8-byte store at the write cursor,
+  // so the destination buffer needs 8 bytes of slack past the final byte;
+  // payload writers therefore target per-thread scratch, not `out`.
   inline void Put(uint64_t value, int bits) {
     acc_ |= (value & ((1ull << bits) - 1)) << fill_;
     fill_ += bits;
-    while (fill_ >= 8) {
-      buf_[pos_++] = static_cast<uint8_t>(acc_);
-      acc_ >>= 8;
-      fill_ -= 8;
-    }
+    std::memcpy(buf_ + pos_, &acc_, 8);
+    int bytes = fill_ >> 3;
+    pos_ += bytes;
+    acc_ >>= 8 * bytes;
+    fill_ &= 7;
   }
 
   // Flush a trailing partial byte, merging with existing buffer content.
@@ -509,7 +512,8 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
   for (auto &h : block_hist)
     for (int s = 0; s < kNumSymbols; ++s) hist[s] += h[s];
 
-  // Tree + header.
+  // Tree + header (+16 slack for the writer's 8-byte spill, later
+  // overwritten by the first block's prefix/payload).
   constexpr int64_t kMaxTreeBytes = ((2 + kSymbolBits) * kNumSymbols + 7) / 8;
   std::memset(out, 0, static_cast<size_t>(
       std::min<int64_t>(out_cap, kMaxTreeBytes + 16)));
@@ -551,8 +555,14 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
   }
 
   {
+    int64_t max_packed = 0;
+    for (int64_t b = 0; b < n_blocks; ++b)
+      max_packed = std::max(max_packed, (bit_sizes[b] + 7) / 8);
     std::atomic<int64_t> next_blk(0);
     auto pack_worker = [&]() {
+      // Per-thread scratch: the bulk-store writer spills 8 bytes past its
+      // cursor, which must never touch a neighbouring block's bytes.
+      std::vector<uint8_t> scratch(static_cast<size_t>(max_packed) + 16, 0);
       while (true) {
         int64_t b = next_blk.fetch_add(1, std::memory_order_relaxed);
         if (b >= n_blocks) break;
@@ -572,8 +582,8 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
             dst += 4;
           }
         }
-        if (bit_sizes[b] & 7) dst[packed - 1] = 0;  // defined partial byte
-        BitWriter w(dst);
+        if (bit_sizes[b] & 7) scratch[packed - 1] = 0;  // defined partial byte
+        BitWriter w(scratch.data());
         const Token *tp = token_arena.data() + b * block_size;
         const Token *te = tp + tok_count[b];
         for (; tp != te; ++tp) {
@@ -585,6 +595,7 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
                 nb + ((t >> 9) & 0xF));
         }
         w.FlushPartial();
+        std::memcpy(dst, scratch.data(), static_cast<size_t>(packed));
       }
     };
     std::vector<std::thread> ts;
