@@ -125,6 +125,19 @@ class BitReader {
 
  private:
   inline void Refill() {
+    if (fill_ > 56) return;
+    if (pos_ + 8 <= size_) {
+      // One unaligned little-endian load.  Bits of the partially-claimed
+      // top byte leak into acc_ above fill_, but they are the *correct*
+      // stream bits and get re-ORed identically when that byte is claimed.
+      uint64_t w;
+      std::memcpy(&w, buf_ + pos_, 8);
+      acc_ |= w << fill_;
+      int take = (63 - fill_) >> 3;
+      pos_ += take;
+      fill_ += take * 8;
+      return;
+    }
     while (fill_ <= 56) {
       uint8_t b = pos_ < size_ ? buf_[pos_] : 0;
       acc_ |= static_cast<uint64_t>(b) << fill_;
