@@ -45,3 +45,11 @@ def test_sharded_batch_mixed_mesh():
     ref = jax.vmap(lambda im: _encode_device(
         im, *et.device_args(), True))(jnp.asarray(imgs))
     np.testing.assert_array_equal(np.asarray(fres), np.asarray(ref[2]))
+
+
+def test_sharded_image_decode_uneven_rows(mesh8):
+    # 17 block rows over 8 shards: exercises decode-side row padding.
+    img = make_image(132, 96, 3, seed=5)
+    blob = himg_tpu.encode(img, 50, True)
+    out = sharding.decode_image_sharded(mesh8, blob)
+    assert np.array_equal(out, himg_tpu.decode(blob))
