@@ -165,6 +165,9 @@ def main():
     assert err < 16, "decoded output quality implausible"
 
     # ---- strict host-to-host (tunnel-bound; for transparency).
+    # Warm the chunk-sized programs first so compiles stay out of the timing.
+    warm = codec.encode_batch(frames[:codec.chunk])
+    codec.decode_batch(warm)
     t0 = time.perf_counter()
     blobs2 = codec.encode_batch(frames)
     h2h_enc = time.perf_counter() - t0
