@@ -57,6 +57,8 @@ def main(argv=None) -> int:
             from .chimg import load_image, to_freeimage_layout
             image = to_freeimage_layout(load_image(file_name))
         himg_tpu.encode(image, 50, True)  # warm the compile cache
+    elif is_himg(buffer):
+        himg_tpu.decode(buffer)  # warm the compile cache
 
     min_dt = max_dt = -1.0
     total = 0.0
