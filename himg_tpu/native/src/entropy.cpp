@@ -26,12 +26,29 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
 
 namespace {
+
+// Phase timing to stderr when HIMG_ENTROPY_PROFILE is set (receipts for
+// the host-entropy numbers in docs/ARCHITECTURE.md).
+struct PhaseTimer {
+  bool on = std::getenv("HIMG_ENTROPY_PROFILE") != nullptr;
+  std::chrono::steady_clock::time_point t = std::chrono::steady_clock::now();
+  void lap(const char *name) {
+    if (!on) return;
+    auto now = std::chrono::steady_clock::now();
+    std::fprintf(stderr, "[entropy] %-14s %7.2f ms\n", name,
+                 std::chrono::duration<double, std::milli>(now - t).count());
+    t = now;
+  }
+};
 
 constexpr int kNumSymbols = 261;
 constexpr int kSymbolBits = 9;
@@ -491,6 +508,7 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
   if (in_size % block_size != 0) return -1;
   if (out_cap < he_max_compressed_size(in_size, block_size)) return -1;
   const int64_t n_blocks = in_size / block_size;
+  PhaseTimer pt;
 
   // Pass 1: tokenize + per-block histogram (threaded over block ranges).
   // Per-block histograms let the bit sizes come from a 261-entry dot
@@ -521,6 +539,7 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
     tok_worker();
     for (auto &t : ts) t.join();
   }
+  pt.lap("tokenize");
   int64_t hist[kNumSymbols] = {0};
   for (auto &h : block_hist)
     for (int s = 0; s < kNumSymbols; ++s) hist[s] += h[s];
@@ -558,6 +577,7 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
       bits += static_cast<int64_t>(h[s]) * table.bits[s];
     bit_sizes[b] = bits;
   }
+  pt.lap("tree+sizes");
   std::vector<int64_t> offsets(n_blocks + 1);
   offsets[0] = head_bytes;
   for (int64_t b = 0; b < n_blocks; ++b) {
@@ -617,6 +637,7 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
     for (auto &t : ts) t.join();
   }
 
+  pt.lap("pack");
   // Sequential stale-bit fix-up: the reference serializes every block
   // through one reused scratch buffer, so the unused high bits of block
   // b's final byte hold the most recent earlier block's byte at the same
@@ -639,6 +660,7 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
       std::memcpy(scratch.data(), payload, static_cast<size_t>(packed));
     }
   }
+  pt.lap("fixup");
   return offsets[n_blocks];
 }
 
@@ -653,12 +675,14 @@ int32_t he_decompress(const uint8_t *in, int64_t in_size, int64_t block_size,
   const bool use_blocks = block_size < out_size;
   if (out_size % block_size != 0) return -2;
 
+  PhaseTimer pt;
   Decoder dec;
   BitReader tree_reader(in, in_size);
   dec.root = RecoverTree(&tree_reader, &dec, 0, 0);
   if (dec.root < 0) return -3;
   dec.BuildLut12();
   int64_t tree_bytes = (tree_reader.consumed_bits() + 7) / 8;
+  pt.lap("tree+lut");
 
   if (!use_blocks) {
     return DecodeStream(dec, in + tree_bytes, in_size - tree_bytes, out,
@@ -705,6 +729,7 @@ int32_t he_decompress(const uint8_t *in, int64_t in_size, int64_t block_size,
   for (int t = 0; t < n_threads - 1; ++t) threads.emplace_back(worker);
   worker();
   for (auto &t : threads) t.join();
+  pt.lap("decode");
   return ok.load() ? 0 : -4;
 }
 

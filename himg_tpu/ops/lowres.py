@@ -33,6 +33,8 @@ import numpy as np
 
 MACRO = 16  # samples per macro block side (downsampled.cpp:23)
 
+_K127 = np.arange(127, dtype=np.int32)
+
 
 # --------------------------------------------------------------------------
 # Analysis: image -> low-res samples.
@@ -44,10 +46,32 @@ def sample_image(plane: jnp.ndarray) -> jnp.ndarray:
     Per-block mean over the window x in [8u-3, 8u+4], y in [8v-3, 8v+4]
     clamped to the image, rounded; then a 1/16-pixel phase-compensating
     blend with the up/left neighbour (downsampled.cpp:67-113).
+
+    The window decomposes onto the 8-aligned block grid: for u >= 1 it is
+    (last 3 pixels of block u-1) + (first 5 of block u), and the u=0 clamp
+    drops the left part.  Two reshape+partial-sum passes therefore replace
+    the integral image: one pass over [H, W] uint8->int32 (the reference
+    does the same window sums with per-block loops), no cumsum, no gather.
+    Out-of-image pixels contribute zero (zero padding) and the divisor
+    comes from the clamped window extents, matching the reference's
+    clamped loops exactly.
     """
     h, w = plane.shape
     rows, cols = (h + 7) >> 3, (w + 7) >> 3
     x = plane.astype(jnp.int32)
+    pr, pc = rows * 8 - h, cols * 8 - w
+    if pr or pc:
+        x = jnp.pad(x, ((0, pr), (0, pc)))
+
+    xr = x.reshape(rows * 8, cols, 8)
+    l5 = xr[:, :, :5].sum(axis=2)                      # [H8, cols]
+    r3 = xr[:, :, 5:].sum(axis=2)
+    hx = l5 + jnp.pad(r3[:, :-1], ((0, 0), (1, 0)))    # [H8, cols]
+
+    hr = hx.reshape(rows, 8, cols)
+    t5 = hr[:, :5, :].sum(axis=1)                      # [rows, cols]
+    b3 = hr[:, 5:, :].sum(axis=1)
+    s = t5 + jnp.pad(b3[:-1], ((1, 0), (0, 0)))        # [rows, cols]
 
     v = jnp.arange(rows)
     u = jnp.arange(cols)
@@ -55,14 +79,6 @@ def sample_image(plane: jnp.ndarray) -> jnp.ndarray:
     y1 = jnp.minimum(h - 1, v * 8 + 4)
     x0 = jnp.maximum(0, u * 8 - 3)
     x1 = jnp.minimum(w - 1, u * 8 + 4)
-
-    # Horizontal window sums first (one full-resolution cumsum), then the
-    # vertical reduction runs on the 8x-narrower [H, cols] intermediate --
-    # half the HBM traffic of a 2-D integral image, identical integers.
-    cx = jnp.pad(jnp.cumsum(x, axis=1), ((0, 0), (1, 0)))
-    hx = cx[:, x1 + 1] - cx[:, x0]                     # [H, cols]
-    cy = jnp.pad(jnp.cumsum(hx, axis=0), ((1, 0), (0, 0)))
-    s = cy[y1 + 1] - cy[y0]                            # [rows, cols]
     count = (y1 - y0 + 1)[:, None] * (x1 - x0 + 1)[None, :]
     avg = (s + (count >> 1)) // count
 
@@ -218,18 +234,41 @@ def _from_tiles(tiles: jnp.ndarray, shape):
     return g.reshape(mr * MACRO, mc * MACRO)[:r, :c]
 
 
+def _map_steps(map_small, unmap_lut):
+    """Derive the composite unmap(map(d)) step representation in-graph.
+
+    The mapper index is a nondecreasing step function of |d| (the same
+    property the full-res quantizer exploits, see ops/quantize.py), so the
+    feedback scan can evaluate unmap(map(d)) as two 127-term threshold
+    reductions instead of a per-step gather (gathers inside scan bodies
+    cost ~8 ns/elem on TPU, docs/ARCHITECTURE.md).  Derivation is a tiny
+    one-time computation hoisted out of the scan:
+
+      th[k]  = smallest positive d with map index >= k (256 if none)
+      pos[i] = unmap value of index i; value(idx) telescopes over dpos.
+    """
+    pos_idx = map_small[512:512 + 255].astype(jnp.int32)    # idx of d=1..255
+    ks = jnp.arange(1, 128, dtype=jnp.int32)[:, None]       # [127, 1]
+    th = 1 + (pos_idx[None, :] < ks).sum(axis=1)            # [127]
+    pos = unmap_lut[:128].astype(jnp.int32)                 # pos[0] == 0
+    dpos = pos[1:] - pos[:-1]                               # [127]
+    return th, dpos
+
+
 def _feedback_scan(tiles_in, pred_id, decode: bool, map_small, unmap_lut):
     """Shared raster scan with reconstruction feedback over [T, 16, 16] tiles.
 
     encode (decode=False): tiles_in holds actual samples; emits
-    (delta_bytes, recon).  decode: tiles_in holds delta bytes; emits recon.
-    Replicates downsampled.cpp:296-309 / :353-380 semantics per lane.
+    (deltas int32 in [-255, 255], recon).  decode: tiles_in holds delta
+    bytes; emits recon.  Replicates downsampled.cpp:296-309 / :353-380
+    semantics per lane.
 
     Runs entirely in int32: every intermediate fits (deltas in [-255, 255],
-    predictors bounded by the clamps).  Gathers are kept out of the scan
-    body where possible (they compile poorly inside loops): decode hoists
-    its unmap lookup over the whole tile up front; encode fuses its
-    map+unmap pair into a single composite-LUT gather per step.
+    predictors bounded by the clamps).  The scan body is gather-free:
+    decode hoists its unmap lookup over the whole tile up front; encode
+    evaluates the in-loop unmap(map(d)) feedback as threshold compare
+    reductions (_map_steps) and leaves the wire-byte mapping to the caller
+    (one small whole-grid lookup outside the loop).
     """
     t = tiles_in.shape[0]
     pred_oh = jax.nn.one_hot(pred_id, 5, dtype=jnp.int32)  # [T, 5]
@@ -237,13 +276,9 @@ def _feedback_scan(tiles_in, pred_id, decode: bool, map_small, unmap_lut):
     if decode:
         # Input bytes map to deltas independent of the scan state.
         hoisted = unmap_lut.astype(jnp.int32)[tiles32]
-        combo = None
+        th = dpos = None
     else:
-        # combo[d + 511] packs (unmap(map(d)) + 512) << 8 | wire_byte so the
-        # in-loop feedback needs one gather, not two.
-        m32 = map_small.astype(jnp.int32)
-        recon_delta = unmap_lut.astype(jnp.int32)[m32]
-        combo = ((recon_delta + 512) << 8) | m32
+        th, dpos = _map_steps(map_small, unmap_lut)
         hoisted = tiles32
 
     def row_step(prev_row, row_xs):
@@ -270,9 +305,15 @@ def _feedback_scan(tiles_in, pred_id, decode: bool, map_small, unmap_lut):
                 recon = _clamp8(predicted + val)
                 out = recon
             else:
-                c = combo[val - predicted + 511]
-                out = c & 0xFF                          # wire byte
-                recon = _clamp8(predicted + (c >> 8) - 512)
+                d = val - predicted
+                ad = jnp.abs(d)
+                # unmap(map(d)) as two broadcast threshold reductions
+                # (XLA fuses compare+reduce; no gather, no big HLO graph).
+                idx = (ad[:, None] >= th[None, :]).astype(jnp.int32).sum(1)
+                value = jnp.where(idx[:, None] > _K127[None, :],
+                                  dpos[None, :], 0).sum(1)
+                recon = _clamp8(predicted + jnp.where(d < 0, -value, value))
+                out = d
             outs.append(out)
             recons.append(recon)
             left = recon
@@ -297,8 +338,12 @@ def encode_deltas(lowres: jnp.ndarray, pred_id: jnp.ndarray,
     bytes in grid layout (use macroblock_stream_order for wire order).
     """
     tiles, (mr, mc) = _to_tiles(lowres.astype(jnp.int16))
-    out = _feedback_scan(tiles, pred_id.reshape(-1), False, map_small, unmap_lut)
-    return _from_tiles(out.astype(jnp.uint8), lowres.shape)
+    deltas = _feedback_scan(tiles, pred_id.reshape(-1), False, map_small,
+                            unmap_lut)
+    # Wire-byte companding happens outside the feedback loop: one small
+    # whole-grid lookup instead of 256 in-scan gathers.
+    wire = map_small[_from_tiles(deltas, lowres.shape) + 511]
+    return wire.astype(jnp.uint8)
 
 
 def decode_deltas(delta_grid: jnp.ndarray, pred_id: jnp.ndarray,

@@ -208,7 +208,7 @@ def _decode_kernel(wire_ref, la_ref, lb_ref, lc_ref, ld_ref, shift_ref,
 def _call(kernel, rows, cols_p, rows_per_channel, small_cols, interpret):
     # Small operands are fed as 3-D [N, 1, K] arrays so the (1, K) block
     # tail matches the array dims (a Mosaic block-shape requirement).
-    space = pltpu.ANY if interpret else pltpu.VMEM
+    space = pl.ANY if interpret else pltpu.VMEM
     spec = pl.BlockSpec((1, 64, cols_p), lambda i: (i, 0, 0),
                         memory_space=space)
     # Corner-sample vectors: one [1, colsP] row per grid step.

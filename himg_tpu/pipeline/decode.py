@@ -84,15 +84,46 @@ def parse_container(data: bytes, max_threads: int = 0):
     except FormatError:
         raise
     except ValueError as e:
-        # Entropy-stage corruption surfaces as ValueError; present it the
-        # way the reference does ("Error: Invalid Huffman data.").
-        raise FormatError(f"invalid Huffman data ({e})") from e
+        # Residual safety net for malformed containers; entropy-stage errors
+        # are labeled at their call sites in _entropy_chunk.
+        raise FormatError(f"malformed HIMG stream ({e})") from e
+
+
+# A single token can emit at most a 16662-zero run (huffman_common.h:19-28),
+# from >= 15 stream bits, so decompressed size is bounded by ~8886x the
+# compressed payload.  16662x per payload *byte* is a safely loose ceiling
+# used to reject hostile headers before any allocation happens.
+_MAX_EXPANSION = 16662
+
+
+def _entropy_chunk(chunk: bytes, out_size: int, block_size: int, what: str,
+                   max_threads: int = 0) -> np.ndarray:
+    """Decompress one Huffman chunk with an allocation budget gate."""
+    if out_size > max(len(chunk), 1) * _MAX_EXPANSION:
+        raise FormatError(
+            f"{what} chunk ({len(chunk)} bytes) cannot expand to "
+            f"{out_size} bytes")
+    try:
+        return bitpack.decompress(chunk, out_size, block_size,
+                                  max_threads=max_threads)
+    except ValueError as e:
+        # Present entropy corruption the way the reference does
+        # ("Error: Invalid Huffman data.", decoder.cpp:96-135).
+        raise FormatError(f"invalid Huffman data in {what} ({e})") from e
 
 
 def _parse_container(data: bytes, max_threads: int = 0):
     reader = RIFFReader(bytes(data))
     header = FormatHeader.deserialize(reader.find_chunk("FRMT"))
     w, h, c = header.width, header.height, header.num_channels
+    # Sanity-gate dimensions before any size arithmetic or allocation: the
+    # wire encodes them as int32/uint8 (decoder.cpp:187-196 trusts them;
+    # we do not).  The entropy budget gate below bounds the big buffers
+    # against the actual input length.
+    if not (1 <= w <= 1 << 24 and 1 <= h <= 1 << 24):
+        raise FormatError(f"implausible image dimensions {w}x{h}")
+    if c < 1:
+        raise FormatError("zero channel count")
     has_chroma = header.use_ycbcr and c >= 3
     rows, cols = (h + 7) >> 3, (w + 7) >> 3
 
@@ -102,7 +133,8 @@ def _parse_container(data: bytes, max_threads: int = 0):
 
     # LRES: predictor maps + delta bytes, one single-stream Huffman blob.
     channel_size = lowres.block_data_size(rows, cols)
-    lres = bitpack.decompress(reader.find_chunk("LRES"), channel_size * c, 0)
+    lres = _entropy_chunk(reader.find_chunk("LRES"), channel_size * c, 0,
+                          "LRES")
     mr, mc = -(-rows // lowres.MACRO), -(-cols // lowres.MACRO)
     order = _stream_order(rows, cols)
     inv_order = np.empty_like(order)
@@ -132,9 +164,8 @@ def _parse_container(data: bytes, max_threads: int = 0):
 
     # FRES: per-block-row substreams of interleaved coefficient planes.
     block_size = cols * c * 64
-    fres = bitpack.decompress(reader.find_chunk("FRES"),
-                              rows * block_size, block_size,
-                              max_threads=max_threads)
+    fres = _entropy_chunk(reader.find_chunk("FRES"), rows * block_size,
+                          block_size, "FRES", max_threads=max_threads)
     fres = fres.reshape(rows, c, 64, cols)
     return (header, shift_tables, fr_mapper.positive, lr_mapper.unmap_lut,
             pred_ids, delta_grids, fres)

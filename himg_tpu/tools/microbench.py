@@ -1,0 +1,329 @@
+"""Microbenchmark receipts: regenerate every measured number the
+architecture rests on (docs/ARCHITECTURE.md "TPU-first decisions").
+
+Run on the target TPU:
+
+    python -m himg_tpu.tools.microbench            # all receipts
+    python -m himg_tpu.tools.microbench gather scan  # a subset
+    python -m himg_tpu.tools.microbench --quick    # tiny shapes (CI smoke)
+
+Prints one JSON line per measurement:
+    {"bench": <name>, "value": N, "unit": ..., "note": ...}
+
+The design decisions these numbers justify:
+  * gather        -> MapTo8Bit as threshold compares, not a LUT gather
+  * onehot        -> UnmapFrom8Bit as one-hot int8 MXU matmul, not a gather
+  * scatter       -> entropy bit-packing stays on host (scatter-add cost)
+  * scan          -> per-lane-gather scan steps rule out XLA-side Huffman
+  * layout        -> plane-major [.., 64, cols] over block-minor [.., 8, 8]
+  * packer        -> the device entropy packer (tpu_stage) loses to host
+  * stages        -> per-stage split of the full encode/decode programs
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.profiling import device_sync
+
+
+def _timeit(fn, *args, iters: int = 5, warmup: int = 2) -> float:
+    """Best-of wall seconds for fn(*args) with forced device completion."""
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    device_sync(jax.tree_util.tree_leaves(out)[0])
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        device_sync(jax.tree_util.tree_leaves(out)[0])
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _emit(bench: str, value: float, unit: str, note: str = "") -> dict:
+    rec = {"bench": bench, "value": round(float(value), 3), "unit": unit}
+    if note:
+        rec["note"] = note
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+# --------------------------------------------------------------------------
+# Primitive costs
+# --------------------------------------------------------------------------
+
+def bench_gather(quick: bool) -> None:
+    """Data-dependent gather cost vs the compare-reduction alternatives."""
+    n = 1 << 18 if quick else 1 << 24          # elements
+    key = jax.random.PRNGKey(0)
+    idx16 = jax.random.randint(key, (n,), 0, 65536, jnp.int32)
+    lut16 = jnp.arange(65536, dtype=jnp.int32)
+    th = jnp.sort(jax.random.randint(key, (127,), 0, 8039, jnp.int32))
+
+    g16 = jax.jit(lambda i: lut16[i])
+    t = _timeit(g16, idx16)
+    _emit("gather_65536lut", 1e9 * t / n, "ns/elem",
+          "MapTo8Bit as a full-range LUT gather")
+
+    def compare127(x):
+        acc = jnp.zeros_like(x)
+        for k in range(127):
+            acc += (x >= th[k]).astype(jnp.int32)
+        return acc
+    t = _timeit(jax.jit(compare127), idx16)
+    _emit("compare127_reduction", 1e9 * t / n, "ns/elem",
+          "MapTo8Bit as 127 threshold compares (production path)")
+
+    idx8 = idx16 & 0xFF
+    lut8 = jnp.arange(256, dtype=jnp.int32)
+    t = _timeit(jax.jit(lambda i: lut8[i]), idx8)
+    _emit("gather_256lut", 1e9 * t / n, "ns/elem",
+          "UnmapFrom8Bit as a 256-entry gather")
+
+    def onehot_mxu(x):
+        oh = (x[:, None] == jnp.arange(256, dtype=jnp.int32)[None, :]
+              ).astype(jnp.int8)
+        return jnp.dot(oh, lut8.astype(jnp.int32)[:, None],
+                       preferred_element_type=jnp.int32)
+    t = _timeit(jax.jit(onehot_mxu), idx8.reshape(-1))
+    _emit("onehot_mxu_256", 1e9 * t / n, "ns/elem",
+          "UnmapFrom8Bit as one-hot int8 MXU matmul (production path)")
+
+
+def bench_scatter(quick: bool) -> None:
+    """Scatter-add cost (what the device bit-packer is made of)."""
+    n = 1 << 16 if quick else 1 << 22
+    m = n * 2
+    key = jax.random.PRNGKey(1)
+    idx = jax.random.randint(key, (n,), 0, m, jnp.int32)
+    val = jnp.ones((n,), jnp.int32)
+    f = jax.jit(lambda i, v: jnp.zeros(m, jnp.int32).at[i].add(v))
+    t = _timeit(f, idx, val)
+    _emit("scatter_add", 1e9 * t / n, "ns/elem",
+          "random scatter-add, the bit-packer inner op")
+
+
+def bench_scan(quick: bool) -> None:
+    """lax.scan step cost with and without a per-lane gather in the body
+    (the shape of any XLA-side sequential Huffman formulation)."""
+    lanes = 1 << 10 if quick else 1 << 13
+    steps = 16 if quick else 256
+    lut = jnp.arange(1024, dtype=jnp.int32)
+
+    def body_gather(carry, _):
+        c = lut[carry & 1023] + carry
+        return c, None
+
+    def body_alu(carry, _):
+        return (carry * 5 + 1) & 1023, None
+
+    init = jnp.arange(lanes, dtype=jnp.int32)
+    for name, body in [("scan_step_gather", body_gather),
+                       ("scan_step_alu", body_alu)]:
+        f = jax.jit(lambda x, body=body: jax.lax.scan(
+            body, x, None, length=steps)[0])
+        t = _timeit(f, init)
+        _emit(name, 1e6 * t / steps, "us/step",
+              f"{lanes} lanes, {steps} steps")
+
+
+# --------------------------------------------------------------------------
+# Layout and full-pipeline receipts
+# --------------------------------------------------------------------------
+
+def _bench_frames(quick: bool):
+    h, w, c = (272, 480, 3) if quick else (1088, 1920, 3)
+    b = 2 if quick else 16
+    rng = np.random.default_rng(42)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 128 + 100 * np.sin(xx / 17.0) * np.cos(yy / 23.0)
+    frames = np.empty((b, h, w, c), np.uint8)
+    for k in range(b):
+        for ch in range(c):
+            frames[k, ..., ch] = (base + rng.normal(0, 10, (h, w))
+                                  + 20 * ch + 5 * k) % 256
+    return frames
+
+
+def bench_layout(quick: bool) -> None:
+    """Plane-major vs block-minor full-res transform stage."""
+    from ..format import tables
+    from ..ops import blocks as blockops
+    from ..ops import hadamard, quantize
+
+    frames = _bench_frames(quick)
+    b, h, w, c = frames.shape
+    mp = b * h * w / 1e6
+    shift, _ = tables.make_quantizer(50, False)
+    fr = tables.MappingTable.for_fullres_quality(50)
+    shift_zz = jnp.asarray(np.tile(shift, (c, 1))[:, np.asarray(tables.ZIGZAG)])
+    th = jnp.asarray(fr.pack_thresholds)
+    x = jnp.asarray(np.moveaxis(frames, -1, 1))     # [B, C, H, W]
+
+    def plane_major(img):
+        pm = jax.vmap(jax.vmap(blockops.to_plane_major))(img)
+        coeffs = hadamard.forward_pm(pm.astype(jnp.int16))
+        inter = blockops.pm_to_interleaved(coeffs, axis=3)
+        return quantize.pack(inter, shift_zz[None, :, None, :, None], th)
+
+    def block_minor(img):
+        blk = jax.vmap(jax.vmap(blockops.to_blocks))(img)
+        coeffs = hadamard.forward(blk.astype(jnp.int16))
+        q = quantize.pack(
+            coeffs.reshape(coeffs.shape[:-2] + (64,)),
+            jnp.asarray(np.tile(shift, (c, 1)))[None, :, None, None, :], th)
+        return jax.vmap(jax.vmap(blockops.interleave_coefficients))(q)
+
+    t_pm = _timeit(jax.jit(plane_major), x)
+    t_bm = _timeit(jax.jit(block_minor), x)
+    _emit("planemajor_fullres_stage", mp / t_pm, "MPix/s",
+          "[rows, 64, cols] layout (production)")
+    _emit("blockminor_fullres_stage", mp / t_bm, "MPix/s",
+          "[..., 8, 8] layout")
+    _emit("planemajor_speedup", t_bm / t_pm, "x", "encode-side stage ratio")
+
+
+def bench_packer(quick: bool) -> None:
+    """Device entropy packer (tpu_stage) vs the host native codec."""
+    from ..entropy import tpu_stage
+    from ..format import tables
+    from ..pipeline.encode import EncodeTables, _encode_device
+
+    frames = _bench_frames(quick)
+    b, h, w, c = frames.shape
+    mp = h * w / 1e6
+    et = EncodeTables(50, True, c)
+    _, _, fres = jax.jit(
+        partial(_encode_device, use_ycbcr=True))(
+            jnp.asarray(frames[0]), *et.device_args())
+    cols = (w + 7) >> 3
+    block = cols * c * 64
+
+    t0 = time.perf_counter()
+    blob_dev = tpu_stage.compress_device(fres, block)
+    t_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    blob_dev = tpu_stage.compress_device(fres, block)
+    t_dev = time.perf_counter() - t0
+    _emit("device_packer_encode", mp / t_dev, "MPix/s",
+          f"tpu_stage.compress_device (first call {t_first:.2f}s)")
+
+    from ..entropy import bitpack
+    host_fres = np.asarray(fres).reshape(-1)
+    t0 = time.perf_counter()
+    blob_host = bitpack.compress(host_fres, block)
+    t_host = time.perf_counter() - t0
+    assert blob_dev == blob_host, "device packer diverged from host codec"
+    _emit("host_native_encode", mp / t_host, "MPix/s",
+          "native C++ entropy encode, same data")
+
+
+def bench_stages(quick: bool) -> None:
+    """Per-stage split of the full device encode/decode programs."""
+    from ..format import tables
+    from ..ops import blocks as blockops
+    from ..ops import hadamard, lowres, quantize, ycbcr
+    from ..ops import pallas_kernels as pk
+    from ..pipeline.encode import EncodeTables, _encode_device
+    from ..pipeline.decode import _decode_device
+
+    frames = _bench_frames(quick)
+    b, h, w, c = frames.shape
+    mp = b * h * w / 1e6
+    et = EncodeTables(50, True, c)
+    targs = et.device_args()
+    use_pallas = pk.default_enabled()
+    x = jnp.asarray(frames)
+
+    enc = jax.jit(jax.vmap(partial(
+        _encode_device, use_ycbcr=True, use_pallas=use_pallas),
+        in_axes=(0, None, None, None, None)))
+    t = _timeit(enc, x, *targs)
+    _emit("encode_program", mp / t, "MPix/s",
+          f"full device encode, batch {b}, pallas={use_pallas}")
+    pred, delta, fres = enc(x, *targs)
+
+    dec = jax.jit(jax.vmap(partial(
+        _decode_device, use_ycbcr=True, use_pallas=use_pallas),
+        in_axes=(0, 0, 0, None, None, None)))
+    dargs = (jnp.asarray(et.shift_tables),
+             jnp.asarray(et.fr_mapper.positive),
+             jnp.asarray(et.lr_mapper.unmap_lut))
+    pred_i = pred.reshape(b, c, -1)
+    t = _timeit(dec, fres, delta, pred_i, *dargs)
+    _emit("decode_program", mp / t, "MPix/s", "full device decode")
+
+    # Encode sub-stages (each jitted standalone; sums can exceed the fused
+    # program because XLA fuses across stage boundaries).
+    chans = jnp.asarray(np.moveaxis(frames, -1, 1))       # [B, C, H, W]
+    stages = {}
+    f_ycbcr = jax.jit(jax.vmap(ycbcr.rgb_to_ycbcr))
+    stages["ycbcr"] = _timeit(f_ycbcr, x)
+    f_sample = jax.jit(jax.vmap(jax.vmap(lowres.sample_image)))
+    stages["lowres_sample"] = _timeit(f_sample, chans)
+    grids = f_sample(chans)
+    f_pred = jax.jit(jax.vmap(jax.vmap(lowres.select_predictors)))
+    stages["pred_argmin"] = _timeit(f_pred, grids)
+    preds = jnp.where(f_pred(grids) <= 1, 0, f_pred(grids))
+    f_fb = jax.jit(jax.vmap(jax.vmap(
+        lambda g, p: lowres.encode_deltas(g, p, targs[2], targs[3]))))
+    stages["feedback_scan"] = _timeit(f_fb, grids, preds)
+    f_layout = jax.jit(jax.vmap(jax.vmap(
+        lambda p: blockops.to_plane_major(blockops.pad_to_blocks(p)))))
+    stages["layout_pm"] = _timeit(f_layout, chans)
+    pm = f_layout(chans)
+    f_ups = jax.jit(jax.vmap(jax.vmap(lowres.upsample_pm)))
+    stages["upsample_pm"] = _timeit(f_ups, grids)
+
+    if use_pallas:
+        shift_zz = et.shift_tables[:, np.asarray(tables.ZIGZAG)]
+        rows = pm.shape[2]
+        pmr = pk.pad_cols(pm.reshape(b * c * rows, 64, pm.shape[-1]))
+        gr = grids.reshape(b * c, grids.shape[2], grids.shape[3])
+        f_kernel = jax.jit(lambda px, g: pk.encode_rows(
+            px, g, jnp.asarray(np.tile(shift_zz, (b, 1))),
+            jnp.asarray(et.fr_mapper.pack_thresholds)))
+        stages["fused_kernel"] = _timeit(f_kernel, pmr, gr)
+
+    for name, t in stages.items():
+        _emit(f"enc_stage_{name}", 1e3 * t, "ms",
+              f"{mp / t:.0f} MPix/s standalone")
+
+
+BENCHES = {
+    "gather": bench_gather,
+    "scatter": bench_scatter,
+    "scan": bench_scan,
+    "layout": bench_layout,
+    "packer": bench_packer,
+    "stages": bench_stages,
+}
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("benches", nargs="*", choices=list(BENCHES) + [[]],
+                    help="subset to run (default: all)")
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny shapes for CI smoke runs")
+    args = ap.parse_args(argv)
+    names = args.benches or list(BENCHES)
+    print(json.dumps({"bench": "_platform",
+                      "value": 0,
+                      "unit": jax.devices()[0].platform,
+                      "note": str(jax.devices()[0])}), flush=True)
+    for name in names:
+        BENCHES[name](args.quick)
+
+
+if __name__ == "__main__":
+    main()

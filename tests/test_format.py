@@ -85,6 +85,63 @@ def test_decode_fuzz_never_crashes(blob):
             pass
 
 
+@pytest.mark.parametrize("w,h,c", [
+    (1 << 30, 1 << 30, 3),     # multi-GB allocation bait
+    (-5, 64, 3), (64, -5, 3),  # negative dimensions
+    (0, 0, 1),                 # zero dimensions
+    (64, 64, 0),               # zero channels
+    ((1 << 24) + 8, 64, 3),    # just past the sanity cap
+])
+def test_hostile_header_dimensions(blob, w, h, c):
+    # A tiny file claiming absurd dimensions must be rejected with a
+    # FormatError before any large allocation (the reference trusts the
+    # header, decoder.cpp:187-196; we gate it).
+    def mutate(p):
+        return bytes([p[0]]) + struct.pack("<ii", w, h) + bytes([c, p[10]])
+    bad = _patch_chunk(blob, b"FRMT", mutate)
+    with pytest.raises(FormatError):
+        himg_tpu.decode(bad)
+
+
+def test_plausible_header_tiny_payload(blob):
+    # Dimensions within the sanity caps but far larger than the entropy
+    # payload could ever expand to: the budget gate must reject it before
+    # allocating rows*cols buffers.
+    bad = _patch_chunk(blob, b"FRMT",
+                       lambda p: bytes([p[0]]) + struct.pack("<ii", 1 << 14, 1 << 14)
+                       + p[9:])
+    with pytest.raises(FormatError):
+        himg_tpu.decode(bad)
+
+
+def test_hostile_small_inputs_never_crash():
+    # No input of <= 1 KB may escape with anything but FormatError.
+    rng = np.random.default_rng(11)
+    cases = [b"", b"R", b"RIFF", b"RIFF\x00\x00\x00\x00HIMG"]
+    for n in (12, 30, 64, 200, 1024):
+        for _ in range(8):
+            raw = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            cases.append(raw)
+            cases.append(b"RIFF" + struct.pack("<I", n + 4) + b"HIMG" + raw)
+    # Structured variant: valid RIFF + FRMT claiming big dims, no payload.
+    frmt = bytes([1]) + struct.pack("<ii", 99999, 99999) + bytes([3, 1])
+    cases.append(b"RIFF" + struct.pack("<I", 4 + 8 + len(frmt)) + b"HIMG"
+                 + b"FRMT" + struct.pack("<I", len(frmt)) + frmt)
+    for data in cases:
+        try:
+            himg_tpu.decode(data)
+        except FormatError:
+            pass
+
+
+def test_entropy_error_labeling(blob):
+    # Corruption inside a Huffman chunk must be reported as Huffman data,
+    # not as a generic container error -- and vice versa.
+    bad = _patch_chunk(blob, b"FRES", lambda p: p[:2])
+    with pytest.raises(FormatError, match="FRES"):
+        himg_tpu.decode(bad)
+
+
 def test_grayscale_2d_api():
     img = make_image(24, 24, 1, seed=22)[..., 0]
     data = himg_tpu.encode(img, 50, False)

@@ -48,6 +48,43 @@ def test_decode_matches_reference(oracle_dir, tmp_path, h, w, c, q, ycbcr):
     assert np.array_equal(mine, ref_img)
 
 
+@pytest.mark.parametrize("q", [0, 100])
+def test_quality_extremes_byte_identical(oracle_dir, tmp_path, q):
+    # Whole-file parity at the quality endpoints (the table-level parity in
+    # test_tables.py covers the LUTs; this pins the full pipeline).
+    img = make_image(64, 64, 3)
+    ref = oracle_encode(oracle_dir, img, q, True, tmp_path)
+    assert himg_tpu.encode(img, q, True) == ref
+    ref_img = oracle_decode(oracle_dir, ref, tmp_path)
+    if ref_img is not None:
+        assert np.array_equal(himg_tpu.decode(ref), ref_img)
+
+
+def _adversarial_images():
+    flat = np.full((64, 64, 3), 128, np.uint8)
+    checker = (np.indices((64, 64)).sum(axis=0) % 2 * 255).astype(np.uint8)
+    max_contrast = np.stack([checker, 255 - checker, checker], axis=-1)
+    zero_chan = make_image(64, 64, 3)
+    zero_chan[..., 1] = 0
+    extremes = np.zeros((64, 64, 3), np.uint8)
+    extremes[:32] = 255
+    return [("flat", flat), ("max-contrast", max_contrast),
+            ("zero-channel", zero_chan), ("half-extremes", extremes)]
+
+
+@pytest.mark.parametrize("name,img", _adversarial_images(),
+                         ids=[n for n, _ in _adversarial_images()])
+@pytest.mark.parametrize("q", [10, 50, 95])
+def test_adversarial_content_byte_identical(oracle_dir, tmp_path, name, img, q):
+    # Degenerate statistics stress the Huffman tie-breaking (single-symbol
+    # trees, all-zero planes) and the WHT's int16 wrap corners.
+    ref = oracle_encode(oracle_dir, img, q, True, tmp_path)
+    assert himg_tpu.encode(img, q, True) == ref
+    ref_img = oracle_decode(oracle_dir, ref, tmp_path)
+    if ref_img is not None:
+        assert np.array_equal(himg_tpu.decode(ref), ref_img)
+
+
 def test_odd_sizes_roundtrip():
     # Non-multiple-of-8 sizes: encode parity holds (checked above for
     # h=40); decoding our own stream must reproduce exact dimensions.

@@ -18,8 +18,8 @@ def mesh8():
 
 
 def test_sharded_image_encode_byte_identical(mesh8):
-    # 270 block rows (2160 px) does not divide 8 shards evenly: exercises
-    # the row-padding path.
+    # 17 block rows (132 px) do not divide 8 shards evenly: exercises the
+    # row-padding path.
     img = make_image(132, 96, 3, seed=3)
     blob = sharding.encode_image_sharded(mesh8, img, 55, True)
     assert blob == himg_tpu.encode(img, 55, True)
