@@ -112,6 +112,66 @@ def assemble_stream(code: HuffmanCode, payloads: np.ndarray, sizes: np.ndarray,
     return bytes(out)
 
 
+def assemble_parts(code: HuffmanCode, parts, use_blocks: bool) -> bytes:
+    """Assemble a Huffman stream from independently packed shard parts.
+
+    parts: iterable of (payload uint8[total], sizes int64[n], bits int64[n])
+    -- per-shard back-to-back block payloads as produced by
+    native.pack_with_code / pack_with_code_py.  This is the directory-
+    concatenation step of the sharded protocol (SURVEY.md section 5): the
+    only sequential work is the length prefixes and the reference's
+    stale-bit replay, both O(bytes) on the assembling host.
+    """
+    tree_bytes, _ = _bits_to_bytes(code.tree_bits)
+    out = bytearray(tree_bytes)
+    max_ps = max((int(s.max()) for _, s, _ in parts if len(s)), default=0)
+    scratch = np.zeros(max_ps + 1, dtype=np.uint8)
+    for payload_flat, sizes, bits in parts:
+        pos = 0
+        for b in range(len(sizes)):
+            ps = int(sizes[b])
+            rem = int(bits[b]) & 7
+            payload = payload_flat[pos:pos + ps].copy()
+            pos += ps
+            if ps > 0 and rem:
+                mask = (1 << rem) - 1
+                payload[ps - 1] = (int(payload[ps - 1]) & mask) | \
+                    (int(scratch[ps - 1]) & (~mask & 0xFF))
+            scratch[:ps] = payload
+            if use_blocks:
+                if ps <= 0x7FFF:
+                    out += ps.to_bytes(2, "little")
+                else:
+                    out += ((ps & 0x7FFF) | 0x8000).to_bytes(2, "little")
+                    out += (ps >> 15).to_bytes(2, "little")
+            out += payload.tobytes()
+    return bytes(out)
+
+
+def histogram_py(data: np.ndarray, block_size: int) -> np.ndarray:
+    """261-bin token histogram (NumPy spec of native.histogram)."""
+    from . import rle
+    data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
+    if data.size == 0:
+        return np.zeros(NUM_SYMBOLS, dtype=np.int64)
+    bs = block_size if block_size > 0 else data.size
+    sym, _, _, _ = rle.tokenize_rows(data.reshape(-1, bs))
+    return rle.histogram_from_tokens(sym)
+
+
+def pack_with_code_py(data: np.ndarray, block_size: int, code: HuffmanCode):
+    """NumPy spec of native.pack_with_code: (payload, sizes, bits)."""
+    from . import rle
+    data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
+    bs = block_size if block_size > 0 else data.size
+    sym, extra, ebits, counts = rle.tokenize_rows(data.reshape(-1, bs))
+    payloads, sizes, total_bits = pack_rows(sym, extra, ebits, counts, code)
+    flat = np.concatenate([payloads[b, :int(sizes[b])]
+                           for b in range(len(sizes))]) \
+        if len(sizes) else np.zeros(0, np.uint8)
+    return flat, sizes, total_bits.astype(np.int64)
+
+
 def compress(data: np.ndarray, block_size: int) -> bytes:
     """Full reference-parity Huffman compression of a byte buffer.
 

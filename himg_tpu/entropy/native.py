@@ -42,6 +42,14 @@ def _load():
     lib.he_decompress.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32]
+    lib.he_histogram.restype = ctypes.c_int32
+    lib.he_histogram.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
+    lib.he_pack_with_code.restype = ctypes.c_int64
+    lib.he_pack_with_code.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -63,6 +71,49 @@ def compress(data: np.ndarray, block_size: int) -> bytes:
     if size < 0:
         raise ValueError("native entropy compression failed")
     return out[:size].tobytes()
+
+
+def histogram(data: np.ndarray, block_size: int) -> np.ndarray:
+    """261-bin token histogram of a byte buffer (the sharded-assembly
+    analysis pass; per-shard results are summed like a psum)."""
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
+    hist = np.zeros(261, dtype=np.int64)
+    rc = lib.he_histogram(data.ctypes.data_as(ctypes.c_char_p), data.size,
+                          block_size, hist.ctypes.data)
+    if rc != 0:
+        raise ValueError("native histogram failed")
+    return hist
+
+
+def pack_with_code(data: np.ndarray, block_size: int, codes: np.ndarray,
+                   bits: np.ndarray):
+    """Pack blocks against a shared code table (sharded local-pack step).
+
+    Returns (payload uint8[total], sizes int64[n_blocks], bits int64[n]):
+    payloads back-to-back with no header/prefixes/stale-bit fix-up.
+    """
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
+    n = data.size
+    if n < 1:
+        return (np.zeros(0, np.uint8), np.zeros(0, np.int64),
+                np.zeros(0, np.int64))
+    bs = block_size if block_size > 0 else n
+    n_blocks = n // bs
+    codes = np.ascontiguousarray(codes, dtype=np.uint32)
+    bits8 = np.ascontiguousarray(bits, dtype=np.uint8)
+    cap = 8 * n + 1024
+    out = np.empty(cap, dtype=np.uint8)
+    sizes = np.empty(n_blocks, dtype=np.int64)
+    tbits = np.empty(n_blocks, dtype=np.int64)
+    total = lib.he_pack_with_code(
+        data.ctypes.data_as(ctypes.c_char_p), n, bs,
+        codes.ctypes.data, bits8.ctypes.data, out.ctypes.data, cap,
+        sizes.ctypes.data, tbits.ctypes.data)
+    if total < 0:
+        raise ValueError("native pack_with_code failed")
+    return out[:total], sizes, tbits
 
 
 def decompress(data: bytes, out_size: int, block_size: int,

@@ -664,6 +664,138 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
   return offsets[n_blocks];
 }
 
+// Tokenize + histogram only (the analysis pass of the sharded-assembly
+// protocol: each shard histograms its local rows, the 261-bin results are
+// all-reduced, and packing happens locally against the shared tree --
+// SURVEY.md section 5).  hist_out must hold 261 int64 bins.
+int32_t he_histogram(const uint8_t *in, int64_t in_size, int64_t block_size,
+                     int64_t *hist_out) {
+  if (in_size < 1) { std::memset(hist_out, 0, 261 * 8); return 0; }
+  if (block_size < 1) block_size = in_size;
+  if (in_size % block_size != 0) return -1;
+  const int64_t n_blocks = in_size / block_size;
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  int n_threads = std::max(1, std::min<int64_t>(hw, std::min<int64_t>(n_blocks, 16)));
+  std::vector<std::vector<uint32_t>> thread_hist(
+      n_threads, std::vector<uint32_t>(kNumSymbols, 0));
+  std::atomic<int64_t> next_blk(0);
+  auto worker = [&](int tid) {
+    std::vector<Token> scratch(static_cast<size_t>(block_size));
+    int64_t n_tok, ebits;
+    while (true) {
+      int64_t b = next_blk.fetch_add(1, std::memory_order_relaxed);
+      if (b >= n_blocks) break;
+      TokenizeBlock(in + b * block_size, block_size, scratch.data(),
+                    thread_hist[tid].data(), &n_tok, &ebits);
+    }
+  };
+  std::vector<std::thread> ts;
+  for (int t = 1; t < n_threads; ++t) ts.emplace_back(worker, t);
+  worker(0);
+  for (auto &t : ts) t.join();
+  for (int s = 0; s < kNumSymbols; ++s) {
+    int64_t acc = 0;
+    for (int t = 0; t < n_threads; ++t) acc += thread_hist[t][s];
+    hist_out[s] = acc;
+  }
+  return 0;
+}
+
+// Pack blocks against an externally supplied code table (the local-pack
+// step of sharded assembly).  Payloads are written back-to-back into
+// `out` with NO tree header, NO length prefixes and NO stale-bit fix-up;
+// per-block byte sizes and exact bit counts go to sizes_out/bits_out
+// (each n_blocks entries).  Returns total payload bytes, or -1 on error.
+int64_t he_pack_with_code(const uint8_t *in, int64_t in_size,
+                          int64_t block_size, const uint32_t *codes,
+                          const uint8_t *code_bits, uint8_t *out,
+                          int64_t out_cap, int64_t *sizes_out,
+                          int64_t *bits_out) {
+  if (in_size < 1) return 0;
+  if (block_size < 1) block_size = in_size;
+  if (in_size % block_size != 0) return -1;
+  const int64_t n_blocks = in_size / block_size;
+
+  uint64_t fused[kNumSymbols];
+  for (int s = 0; s < kNumSymbols; ++s)
+    fused[s] = static_cast<uint64_t>(codes[s]) |
+               (static_cast<uint64_t>(code_bits[s]) << 56);
+
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  int n_threads = std::max(1, std::min<int64_t>(hw, std::min<int64_t>(n_blocks, 16)));
+
+  // Pass 1: tokenize into a flat arena with per-block histograms -> exact
+  // bit sizes -> output offsets.
+  std::vector<Token> token_arena(static_cast<size_t>(in_size));
+  std::vector<int64_t> tok_count(n_blocks);
+  std::vector<std::vector<uint32_t>> block_hist(
+      n_blocks, std::vector<uint32_t>(kNumSymbols, 0));
+  std::vector<int64_t> block_extra(n_blocks);
+  {
+    std::atomic<int64_t> next_blk(0);
+    auto worker = [&]() {
+      while (true) {
+        int64_t b = next_blk.fetch_add(1, std::memory_order_relaxed);
+        if (b >= n_blocks) break;
+        TokenizeBlock(in + b * block_size, block_size,
+                      token_arena.data() + b * block_size,
+                      block_hist[b].data(), &tok_count[b], &block_extra[b]);
+      }
+    };
+    std::vector<std::thread> ts;
+    for (int t = 1; t < n_threads; ++t) ts.emplace_back(worker);
+    worker();
+    for (auto &t : ts) t.join();
+  }
+  std::vector<int64_t> offsets(n_blocks + 1);
+  offsets[0] = 0;
+  for (int64_t b = 0; b < n_blocks; ++b) {
+    int64_t bits = block_extra[b];
+    const uint32_t *h = block_hist[b].data();
+    for (int s = 0; s < kNumSymbols; ++s)
+      bits += static_cast<int64_t>(h[s]) * code_bits[s];
+    bits_out[b] = bits;
+    sizes_out[b] = (bits + 7) / 8;
+    offsets[b + 1] = offsets[b] + sizes_out[b];
+  }
+  if (offsets[n_blocks] > out_cap) return -1;
+
+  // Pass 2: pack each block into its slot (threaded, via scratch because
+  // the 64-bit writer spills past its cursor).
+  {
+    int64_t max_packed = 0;
+    for (int64_t b = 0; b < n_blocks; ++b)
+      max_packed = std::max(max_packed, sizes_out[b]);
+    std::atomic<int64_t> next_blk(0);
+    auto worker = [&]() {
+      std::vector<uint8_t> scratch(static_cast<size_t>(max_packed) + 16, 0);
+      while (true) {
+        int64_t b = next_blk.fetch_add(1, std::memory_order_relaxed);
+        if (b >= n_blocks) break;
+        BitWriter w(scratch.data());
+        const Token *tp = token_arena.data() + b * block_size;
+        const Token *te = tp + tok_count[b];
+        for (; tp != te; ++tp) {
+          Token t = *tp;
+          uint64_t e = fused[t & 0x1FF];
+          int nb = static_cast<int>(e >> 56);
+          w.Put((e & 0xFFFFFFFFFFFFFFull) |
+                    (static_cast<uint64_t>(t >> 13) << nb),
+                nb + ((t >> 9) & 0xF));
+        }
+        w.FlushPartial();
+        std::memcpy(out + offsets[b], scratch.data(),
+                    static_cast<size_t>(sizes_out[b]));
+      }
+    };
+    std::vector<std::thread> ts;
+    for (int t = 1; t < n_threads; ++t) ts.emplace_back(worker);
+    worker();
+    for (auto &t : ts) t.join();
+  }
+  return offsets[n_blocks];
+}
+
 // Decompress into out[0..out_size).  block_size is the *uncompressed*
 // bytes per substream (0 = single stream).  Returns 0 on success, negative
 // error codes otherwise.  Decoding is threaded over substreams.

@@ -255,7 +255,8 @@ def _map_steps(map_small, unmap_lut):
     return th, dpos
 
 
-def _feedback_scan(tiles_in, pred_id, decode: bool, map_small, unmap_lut):
+def _feedback_scan(tiles_in, pred_id, decode: bool, map_small, unmap_lut,
+                   unroll: bool | None = None, geval: str = "bcast"):
     """Shared raster scan with reconstruction feedback over [T, 16, 16] tiles.
 
     encode (decode=False): tiles_in holds actual samples; emits
@@ -269,21 +270,68 @@ def _feedback_scan(tiles_in, pred_id, decode: bool, map_small, unmap_lut):
     evaluates the in-loop unmap(map(d)) feedback as threshold compare
     reductions (_map_steps) and leaves the wire-byte mapping to the caller
     (one small whole-grid lookup outside the loop).
+
+    unroll: emit the 16 row steps as straight-line XLA instead of a
+    lax.scan (no per-step dispatch, cross-step fusion); default picks
+    unrolled on TPU (measured faster, tools/microbench receipts) and
+    lax.scan elsewhere (compile time).
+    geval ('bcast' | 'dot8'): evaluate the in-loop threshold reductions as
+    int32 broadcast compare+sum or as int8 compare matrices contracted on
+    the MXU (int8 halves the vreg traffic; value steps split into two
+    int8 planes because dpos can exceed 127).
     """
+    if unroll is None:
+        try:
+            unroll = jax.devices()[0].platform != "cpu"
+        except RuntimeError:
+            unroll = False
     t = tiles_in.shape[0]
     pred_oh = jax.nn.one_hot(pred_id, 5, dtype=jnp.int32)  # [T, 5]
     tiles32 = tiles_in.astype(jnp.int32)
     if decode:
-        # Input bytes map to deltas independent of the scan state.
-        hoisted = unmap_lut.astype(jnp.int32)[tiles32]
-        th = dpos = None
+        # Input bytes map to deltas independent of the scan state.  A LUT
+        # gather costs ~10 ns/elem on TPU (tools/microbench); the one-hot
+        # MXU unmap is ~4x cheaper and bit-identical (unmap_lut is exactly
+        # the +-mirrored positive curve, incl. the defensive 0x80 entry).
+        from . import quantize as _q
+        hoisted = _q.unpack(tiles32.astype(jnp.uint8),
+                            jnp.zeros((), jnp.int32),
+                            unmap_lut[:128]).astype(jnp.int32)
+        geval_args = None
     else:
         th, dpos = _map_steps(map_small, unmap_lut)
+        if geval == "dot8":
+            # dpos in [0, 510]: split into two int8 planes (lo7 + hi<<7).
+            dlo = (dpos & 0x7F).astype(jnp.int8)
+            dhi = (dpos >> 7).astype(jnp.int8)
+            dmat = jnp.stack([dlo, dhi], axis=1)            # [127, 2]
+            geval_args = (th, dmat)
+        else:
+            geval_args = (th, dpos)
         hoisted = tiles32
 
-    def row_step(prev_row, row_xs):
-        row_vals, dv = row_xs          # [T, 16], scalar index
-        dv0 = dv == 0
+    def g_of_d(d):
+        """unmap(map(d)) for signed deltas, gather-free."""
+        ad = jnp.abs(d)
+        if geval == "dot8":
+            th_, dmat = geval_args
+            cmp1 = (ad[:, None] >= th_[None, :]).astype(jnp.int8)
+            idx = jnp.dot(cmp1, jnp.ones((127, 1), jnp.int8),
+                          preferred_element_type=jnp.int32)[:, 0]
+            cmp2 = (idx[:, None] > _K127[None, :]).astype(jnp.int8)
+            parts = jnp.dot(cmp2, dmat, preferred_element_type=jnp.int32)
+            value = parts[:, 0] + (parts[:, 1] << 7)
+        else:
+            th_, dpos_ = geval_args
+            idx = (ad[:, None] >= th_[None, :]).astype(jnp.int32).sum(1)
+            value = jnp.where(idx[:, None] > _K127[None, :],
+                              dpos_[None, :], 0).sum(1)
+        return jnp.where(d < 0, -value, value)
+
+    def row_step(prev_row, row_vals, dv0_static):
+        # prev_row [T, 16]; row_vals [T, 16]; dv0_static: None for traced
+        # scan (carry a traced dv flag is avoided by seeding row 0), or a
+        # Python bool when unrolled.
         left = prev_row[:, 0] * 0
         outs = []
         recons = []
@@ -293,12 +341,17 @@ def _feedback_scan(tiles_in, pred_id, decode: bool, map_small, unmap_lut):
             val = row_vals[:, du]
             s1n = prev_row[:, du - 1] if du > 0 else prev_row[:, 0]
             s2n = prev_row[:, du]
-            if du == 0:
-                s1 = s2 = s3 = jnp.where(dv0, 128, s2n)
+            if dv0_static:
+                if du == 0:
+                    s1 = s2 = s3 = jnp.full_like(left, 128)
+                else:
+                    s1 = s2 = left
+                    s3 = left
             else:
-                s1 = jnp.where(dv0, left, s1n)
-                s2 = jnp.where(dv0, left, s2n)
-                s3 = left
+                if du == 0:
+                    s1 = s2 = s3 = s2n
+                else:
+                    s1, s2, s3 = s1n, s2n, left
             preds = _predict_all(s1, s2, s3)            # [T, 5]
             predicted = (preds * pred_oh).sum(axis=-1)
             if decode:
@@ -306,13 +359,7 @@ def _feedback_scan(tiles_in, pred_id, decode: bool, map_small, unmap_lut):
                 out = recon
             else:
                 d = val - predicted
-                ad = jnp.abs(d)
-                # unmap(map(d)) as two broadcast threshold reductions
-                # (XLA fuses compare+reduce; no gather, no big HLO graph).
-                idx = (ad[:, None] >= th[None, :]).astype(jnp.int32).sum(1)
-                value = jnp.where(idx[:, None] > _K127[None, :],
-                                  dpos[None, :], 0).sum(1)
-                recon = _clamp8(predicted + jnp.where(d < 0, -value, value))
+                recon = _clamp8(predicted + g_of_d(d))
                 out = d
             outs.append(out)
             recons.append(recon)
@@ -320,11 +367,25 @@ def _feedback_scan(tiles_in, pred_id, decode: bool, map_small, unmap_lut):
         new_row = jnp.stack(recons, axis=1)             # [T, 16]
         return new_row, jnp.stack(outs, axis=1)
 
-    row_xs = (hoisted.transpose(1, 0, 2), jnp.arange(MACRO))
-    # Derive the initial carry from the data so its device-varying axes
-    # match the body output under shard_map.
-    init_row = hoisted[:, 0, :] * 0
-    _, out_rows = jax.lax.scan(row_step, init_row, row_xs)
+    rows_in = hoisted.transpose(1, 0, 2)                # [16, T, 16]
+    if unroll:
+        prev = None
+        out_rows = []
+        for dv in range(MACRO):
+            prev, out = row_step(
+                prev if prev is not None else rows_in[0] * 0,
+                rows_in[dv], dv == 0)
+            out_rows.append(out)
+        out_rows = jnp.stack(out_rows, axis=0)
+    else:
+        def scan_body(prev_row, row_vals):
+            return row_step(prev_row, row_vals, False)
+        # Row 0 runs outside the scan (its neighbour rules are static);
+        # deriving the carry from data keeps device-varying axes aligned
+        # under shard_map.
+        first_recon, first_out = row_step(rows_in[0] * 0, rows_in[0], True)
+        _, rest = jax.lax.scan(scan_body, first_recon, rows_in[1:])
+        out_rows = jnp.concatenate([first_out[None], rest], axis=0)
     return out_rows.transpose(1, 0, 2)  # [T, 16, 16]
 
 

@@ -118,9 +118,9 @@ def _encode_shard_body(img, shift_tables, fr_thresholds, lr_map_small, lr_unmap,
     hl = img.shape[0]
     row_start = idx * hl
 
-    if use_ycbcr:
-        img = ycbcr.rgb_to_ycbcr(img)
     chans = jnp.moveaxis(img, -1, 0)                   # [C, hL, W]
+    if use_ycbcr:
+        chans = ycbcr.rgb_to_ycbcr_planar(chans)
 
     local_rows = jax.vmap(
         lambda p: _sample_rows_sharded(p, h, row_start))(chans)
@@ -214,10 +214,9 @@ def _decode_shard_body(fres_local, grids, shift_tables, fr_pos_curve,
     restored = blk.astype(jnp.int32) + pred_pm.astype(jnp.int32)
     img = jax.vmap(blockops.from_plane_major)(
         jnp.clip(restored, 0, 255).astype(jnp.uint8))
-    img = jnp.moveaxis(img, 0, -1)
     if use_ycbcr:
-        img = ycbcr.ycbcr_to_rgb(img)
-    return img
+        img = ycbcr.ycbcr_to_rgb_planar(img)
+    return jnp.moveaxis(img, 0, -1)
 
 
 def build_sharded_decode(mesh: Mesh, h: int, w: int, c: int,
@@ -317,9 +316,62 @@ def encode_image_sharded(mesh: Mesh, image, quality: int = 50,
         jnp.asarray(et.fr_mapper.pack_thresholds),
         jnp.asarray(lr.map_lut[32768 - 511:32768 + 512]),
         jnp.asarray(lr.unmap_lut))
-    fres = np.asarray(fres)[0, :rows_true]
+    cols = (w + 7) >> 3
+    fres_stream = _assemble_fres_sharded(fres, rows_true, cols * c * 64)
     return assemble_container(w, h, c, et, np.asarray(pred_ids)[0],
-                              np.asarray(delta_grids)[0], fres)
+                              np.asarray(delta_grids)[0], None,
+                              fres_stream=fres_stream)
+
+
+def _assemble_fres_sharded(fres, rows_true: int, block_size: int) -> bytes:
+    """Per-shard entropy coding of the sharded FRES planes (SURVEY.md §5).
+
+    No host ever materializes the full coefficient array: each row shard's
+    planes are copied out and tokenized/packed locally --
+
+      per-shard 261-bin histogram  ->  summed (the psum; on a multi-host
+      deployment this is a tiny jax allreduce of 261 ints)
+      ->  host tree build (shared code table, broadcast)
+      ->  per-shard local pack against the shared table
+      ->  directory concatenation + length prefixes + stale-bit replay.
+
+    Byte-identical to the single-host funnel because rows are shard-
+    aligned: per-row tokenization is independent (the format property from
+    huffman_enc.cpp:342-358) and the shared tree comes from the identical
+    global histogram.  Row padding beyond rows_true is dropped per shard.
+    """
+    from ..entropy import bitpack, native
+    from ..entropy.huffman import build_code
+
+    # Row-ordered local pieces: [rows_shard, C, 64, cols] each.  With a
+    # single host every shard is addressable; on multi-host each process
+    # sees only its rows, histograms are allreduced, and the concat is an
+    # all-gather to the assembling host.
+    shards = sorted(fres.addressable_shards,
+                    key=lambda s: (s.index[1].start or 0))
+    pieces = []
+    row0 = 0
+    for s in shards:
+        arr = np.asarray(s.data)[0]           # [rows_shard, C, 64, cols]
+        keep = min(arr.shape[0], max(rows_true - row0, 0))
+        row0 += arr.shape[0]
+        if keep:
+            pieces.append(np.ascontiguousarray(arr[:keep]).reshape(-1))
+    use_native = native.available()
+    hist = np.zeros(261, dtype=np.int64)
+    for p in pieces:
+        hist += (native.histogram(p, block_size) if use_native
+                 else bitpack.histogram_py(p, block_size))
+    code = build_code(hist)
+    if use_native:
+        parts = [native.pack_with_code(p, block_size, code.codes, code.bits)
+                 for p in pieces]
+    else:
+        parts = [bitpack.pack_with_code_py(p, block_size, code)
+                 for p in pieces]
+    total = sum(len(p) for p in pieces)
+    return bitpack.assemble_parts(code, parts,
+                                  use_blocks=block_size < total)
 
 
 def decode_image_sharded(mesh: Mesh, data: bytes) -> np.ndarray:

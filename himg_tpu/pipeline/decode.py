@@ -61,10 +61,9 @@ def _decode_device(fres, delta_grids, pred_ids, shift_tables, fr_pos_curve,
         restored = blk.astype(jnp.int32) + pred_pm.astype(jnp.int32)
         img = jax.vmap(blockops.from_plane_major)(
             jnp.clip(restored, 0, 255).astype(jnp.uint8))
-    img = jnp.moveaxis(img, 0, -1)                       # [H8, W8, C]
     if use_ycbcr:
-        img = ycbcr.ycbcr_to_rgb(img)
-    return img
+        img = ycbcr.ycbcr_to_rgb_planar(img)             # planar, full lanes
+    return jnp.moveaxis(img, 0, -1)                      # [H8, W8, C]
 
 
 def parse_container(data: bytes, max_threads: int = 0):

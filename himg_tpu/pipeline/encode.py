@@ -40,9 +40,11 @@ def _encode_device(img, shift_tables, fr_thresholds, lr_map_small, lr_unmap,
              delta_grids [C, R, Cc] uint8,
              fres [rows, C, 64, cols] uint8 interleaved planes).
     """
-    if use_ycbcr:
-        img = ycbcr.rgb_to_ycbcr(img)
     chans = jnp.moveaxis(img, -1, 0)                    # [C, H, W]
+    if use_ycbcr:
+        # Planar conversion: full lane occupancy (C in the lane axis
+        # wastes 125/128 of the VPU; tools/microbench receipts).
+        chans = ycbcr.rgb_to_ycbcr_planar(chans)
 
     # Low-res layer (vectorized over channels).
     grids = jax.vmap(lowres.sample_image)(chans)        # [C, R, Cc] uint8
@@ -109,8 +111,13 @@ class EncodeTables:
 
 def assemble_container(w: int, h: int, c: int, et: EncodeTables,
                        pred_ids: np.ndarray, delta_grids: np.ndarray,
-                       fres: np.ndarray) -> bytes:
-    """Entropy-code device outputs and frame the RIFF container."""
+                       fres: np.ndarray, fres_stream: bytes | None = None) -> bytes:
+    """Entropy-code device outputs and frame the RIFF container.
+
+    fres_stream: optional pre-assembled FRES Huffman stream (the sharded
+    path packs substreams per shard and assembles the directory itself);
+    when given, `fres` is ignored.
+    """
     rows, cols = (h + 7) >> 3, (w + 7) >> 3
     # LRES payload: per channel, predictor bytes then deltas in wire order.
     order = _stream_order(rows, cols)
@@ -129,8 +136,8 @@ def assemble_container(w: int, h: int, c: int, et: EncodeTables,
     writer.add_chunk("QCFG", tables.pack_quant_config(
         et.luma_shift, et.chroma_shift if et.use_ycbcr else None))
     writer.add_chunk("FMAP", et.fr_mapper.serialize())
-    writer.add_chunk("FRES", bitpack.compress(
-        fres.reshape(-1), cols * c * 64))
+    writer.add_chunk("FRES", fres_stream if fres_stream is not None
+                     else bitpack.compress(fres.reshape(-1), cols * c * 64))
     return writer.tobytes()
 
 

@@ -1,0 +1,136 @@
+"""Config 4 at its literal scale: 256x 1080p frames per step.
+
+Runs the chunked BatchCodec over a full 256-frame batch and reports the
+stage rates and memory headroom the 16-frame bench extrapolated before
+(VERDICT round 1, missing #2).  Prints one JSON line:
+
+    {"metric": "batch256_1080p_encode_throughput", ...}
+
+plus stage detail on stderr.  Run on the TPU host:
+
+    python -m himg_tpu.tools.bench256
+
+Note on transfers: this harness reaches its TPU through a ~16-25 MB/s
+tunnel, so shipping 256 raw frames (1.6 GB) dominates wall-clock; the
+reported stage rates therefore time device execution (chained dispatch,
+single sync) and host entropy separately, exactly like bench.py, with the
+chunked pipeline's memory behaviour observed at the full 256-frame scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(Path(__file__).resolve().parents[2] / ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import numpy as np
+
+H, W, C = 1088, 1920, 3
+BATCH = 256
+CHUNK = 16
+QUALITY = 50
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from himg_tpu.pipeline.batch import BatchCodec
+    from himg_tpu.pipeline.encode import assemble_container
+    from himg_tpu.pipeline.decode import parse_container
+
+    rng = np.random.default_rng(42)
+    yy, xx = np.mgrid[0:H, 0:W]
+    base = (128 + 100 * np.sin(xx / 17.0) * np.cos(yy / 23.0)).astype(np.float32)
+    # One template + per-frame noise keeps host RAM for the source batch
+    # at 1.6 GB (the object under test is the codec, not the generator).
+    frames = np.empty((BATCH, H, W, C), np.uint8)
+    for b in range(BATCH):
+        n = rng.normal(0, 10, (H, W)).astype(np.float32)
+        for c in range(C):
+            frames[b, ..., c] = (base + n + 20 * c + 5 * b) % 256
+    pix = BATCH * H * W
+    log(f"frames: {frames.nbytes / 1e9:.2f} GB host")
+
+    codec = BatchCodec(H, W, C, QUALITY, use_ycbcr=True, chunk=CHUNK)
+    targs = codec.tables.device_args()
+
+    # Device stage at the 256 scale: chained chunk dispatches, one sync.
+    # Chunks are device-put incrementally (the tunnel would dominate a
+    # single 1.6 GB put).  All 16 chunk inputs + outputs are kept live on
+    # device (~3.3 GB) to demonstrate the full 256-frame HBM footprint;
+    # the production pipeline (BatchCodec) holds only ~2 chunks.
+    t0 = time.perf_counter()
+    dev_chunks = [jax.device_put(frames[i:i + CHUNK])
+                  for i in range(0, BATCH, CHUNK)]
+    put_s = time.perf_counter() - t0
+    log(f"device_put of {BATCH} frames: {put_s:.1f}s "
+        f"({frames.nbytes / put_s / 1e6:.0f} MB/s tunnel)")
+
+    def sync(x):
+        np.asarray(x.reshape(-1)[:8])
+
+    flat = codec._enc(dev_chunks[0], *targs)
+    sync(flat)  # compile
+    t0 = time.perf_counter()
+    outs = [codec._enc(ch, *targs) for ch in dev_chunks]
+    sync(outs[-1])
+    dev_enc = time.perf_counter() - t0
+    enc_rate = pix / dev_enc / 1e6
+    log(f"device encode {BATCH}x1080p: {dev_enc:.2f}s -> {enc_rate:.0f} MPix/s")
+
+    # Report live HBM stats if the runtime exposes them.
+    try:
+        ms = jax.devices()[0].memory_stats()
+        log(f"HBM in use: {ms.get('bytes_in_use', 0)/1e9:.2f} GB of "
+            f"{ms.get('bytes_limit', 0)/1e9:.2f} GB")
+    except Exception as e:  # noqa: BLE001 - diagnostics only
+        log(f"memory_stats unavailable: {e}")
+
+    # Host entropy over ALL 256 frames (no extrapolation).  The device ->
+    # host copies ride the slow tunnel; time them separately so the entropy
+    # rate reflects host work, as in bench.py.
+    t0 = time.perf_counter()
+    host_rows = [np.asarray(o).reshape(CHUNK, -1) for o in outs]
+    xfer_s = time.perf_counter() - t0
+    log(f"device->host copy of all planes: {xfer_s:.1f}s (tunnel)")
+    ent_enc = ent_dec = 0.0
+    n_blob_bytes = 0
+    for rows in host_rows:
+        views = [codec._image_views(r) for r in rows]
+        t0 = time.perf_counter()
+        blobs = [assemble_container(W, H, C, codec.tables, *v)
+                 for v in views]
+        ent_enc += time.perf_counter() - t0
+        n_blob_bytes += sum(len(b) for b in blobs)
+        t0 = time.perf_counter()
+        for b in blobs:
+            parse_container(b)
+        ent_dec += time.perf_counter() - t0
+    ent_rate = pix / (ent_enc + ent_dec) / 1e6
+    log(f"host entropy, all {BATCH} frames: enc {ent_enc:.1f}s "
+        f"dec {ent_dec:.1f}s -> {ent_rate:.1f} MPix/s roundtrip; "
+        f"{n_blob_bytes / (pix * C):.3f} B/px")
+
+    del outs, dev_chunks
+    sustained = min(enc_rate, ent_rate)
+    print(json.dumps({
+        "metric": "batch256_1080p_encode_throughput",
+        "value": round(sustained, 2),
+        "unit": "MPix/s",
+        "vs_baseline": round(sustained / 8.9, 2),  # reference encode rate
+    }))
+
+
+if __name__ == "__main__":
+    main()

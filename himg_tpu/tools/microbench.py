@@ -226,6 +226,25 @@ def bench_packer(quick: bool) -> None:
     _emit("host_native_encode", mp / t_host, "MPix/s",
           "native C++ entropy encode, same data")
 
+    # Device entropy *decode* experiment (lockstep LUT scan).
+    from ..entropy import tpu_decode
+    try:
+        t0 = time.perf_counter()
+        got = tpu_decode.decode_device(blob_host, host_fres.size, block)
+        t_first = time.perf_counter() - t0
+        assert np.array_equal(got, host_fres), "device decoder diverged"
+        t0 = time.perf_counter()
+        tpu_decode.decode_device(blob_host, host_fres.size, block)
+        t_dev = time.perf_counter() - t0
+        _emit("device_decoder", mp / t_dev, "MPix/s",
+              f"lockstep LUT scan (first call {t_first:.2f}s)")
+    except ValueError as e:
+        _emit("device_decoder", 0, "MPix/s", f"declined: {e}")
+    t0 = time.perf_counter()
+    bitpack.decompress(blob_host, host_fres.size, block)
+    _emit("host_native_decode", mp / (time.perf_counter() - t0), "MPix/s",
+          "native C++ entropy decode, same data")
+
 
 def bench_stages(quick: bool) -> None:
     """Per-stage split of the full device encode/decode programs."""
@@ -299,6 +318,60 @@ def bench_stages(quick: bool) -> None:
               f"{mp / t:.0f} MPix/s standalone")
 
 
+def bench_variants(quick: bool) -> None:
+    """Compare implementation variants of the hot low-res/color stages."""
+    from ..ops import lowres, ycbcr
+    from ..pipeline.encode import EncodeTables
+
+    frames = _bench_frames(quick)
+    b, h, w, c = frames.shape
+    mp = b * h * w / 1e6
+    x = jnp.asarray(frames)
+    chans = jnp.asarray(np.moveaxis(frames, -1, 1))
+
+    t = _timeit(jax.jit(jax.vmap(ycbcr.rgb_to_ycbcr)), x)
+    _emit("ycbcr_interleaved", 1e3 * t, "ms", f"{mp/t:.0f} MPix/s")
+    t = _timeit(jax.jit(jax.vmap(ycbcr.rgb_to_ycbcr_planar)), chans)
+    _emit("ycbcr_planar", 1e3 * t, "ms", f"{mp/t:.0f} MPix/s")
+
+    et = EncodeTables(50, True, c)
+    targs = et.device_args()
+    grids = jax.jit(jax.vmap(jax.vmap(lowres.sample_image)))(chans)
+    preds = jax.jit(jax.vmap(jax.vmap(lowres.select_predictors)))(grids)
+    preds = jnp.where(preds <= 1, 0, preds)
+
+    def scan_fn(unroll, geval, decode):
+        def one(g, p):
+            tiles, _ = lowres._to_tiles(g.astype(jnp.int16))
+            return lowres._feedback_scan(tiles, p.reshape(-1), decode,
+                                         targs[2], targs[3],
+                                         unroll=unroll, geval=geval)
+        return jax.jit(jax.vmap(jax.vmap(one)))
+
+    for unroll in (False, True):
+        for gv in ("bcast", "dot8"):
+            t = _timeit(scan_fn(unroll, gv, False), grids, preds)
+            _emit(f"enc_scan_unroll{int(unroll)}_{gv}", 1e3 * t, "ms",
+                  f"{mp/t:.0f} MPix/s equivalent")
+        t = _timeit(scan_fn(unroll, "bcast", True), grids, preds)
+        _emit(f"dec_scan_unroll{int(unroll)}", 1e3 * t, "ms",
+              f"{mp/t:.0f} MPix/s equivalent")
+
+    # Decode-side reassembly: plane-major -> interleaved image.
+    from ..ops import blocks as blockops
+    rows, cols = (h + 7) >> 3, (w + 7) >> 3
+    pm = jnp.zeros((b, c, rows, 8, 8, cols), jnp.uint8)
+
+    def reassemble(x):
+        img = jax.vmap(jax.vmap(blockops.from_plane_major))(x)
+        return jnp.moveaxis(img, 1, -1)
+    t = _timeit(jax.jit(reassemble), pm)
+    _emit("dec_reassemble", 1e3 * t, "ms", f"{mp/t:.0f} MPix/s")
+    t = _timeit(jax.jit(lambda x: jnp.moveaxis(x, 1, -1)),
+                jnp.zeros((b, c, rows * 8, cols * 8), jnp.uint8))
+    _emit("dec_moveaxis_only", 1e3 * t, "ms", "planar->interleaved u8")
+
+
 BENCHES = {
     "gather": bench_gather,
     "scatter": bench_scatter,
@@ -306,6 +379,7 @@ BENCHES = {
     "layout": bench_layout,
     "packer": bench_packer,
     "stages": bench_stages,
+    "variants": bench_variants,
 }
 
 

@@ -239,3 +239,31 @@ def test_unpack_matches_unmap_lut_all_bytes():
         got = np.asarray(quantize.unpack(jnp.asarray(data), jnp.asarray(shift),
                                          jnp.asarray(m.positive)))
         assert np.array_equal(got.reshape(-1), m.unmap_lut), q
+
+
+def test_feedback_scan_variants_agree():
+    """All (unroll, geval) feedback-scan variants must be byte-identical
+    (the TPU default is unroll+dot8; CPU tests run the scan+bcast path)."""
+    from himg_tpu.pipeline.encode import EncodeTables
+    from util import make_image
+    et = EncodeTables(50, True, 3)
+    targs = et.device_args()
+    img = make_image(120, 130, 1, seed=9)[..., 0]
+    grid = lowres.sample_image(jnp.asarray(img))
+    pid = lowres.select_predictors(grid)
+    pid = jnp.where(pid <= 1, 0, pid).reshape(-1)
+    tiles, _ = lowres._to_tiles(grid.astype(jnp.int16))
+    enc_ref = dec_ref = None
+    for unroll in (False, True):
+        for geval in ("bcast", "dot8"):
+            enc = np.asarray(lowres._feedback_scan(
+                tiles, pid, False, targs[2], targs[3],
+                unroll=unroll, geval=geval))
+            if enc_ref is None:
+                enc_ref = enc
+            assert np.array_equal(enc, enc_ref), (unroll, geval)
+        dec = np.asarray(lowres._feedback_scan(
+            tiles, pid, True, None, targs[3], unroll=unroll))
+        if dec_ref is None:
+            dec_ref = dec
+        assert np.array_equal(dec, dec_ref), unroll
