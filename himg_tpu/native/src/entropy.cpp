@@ -675,7 +675,8 @@ int32_t he_histogram(const uint8_t *in, int64_t in_size, int64_t block_size,
   if (in_size % block_size != 0) return -1;
   const int64_t n_blocks = in_size / block_size;
   int hw = static_cast<int>(std::thread::hardware_concurrency());
-  int n_threads = std::max(1, std::min<int64_t>(hw, std::min<int64_t>(n_blocks, 16)));
+  int n_threads = std::max<int>(
+      1, static_cast<int>(std::min<int64_t>(hw, std::min<int64_t>(n_blocks, 16))));
   std::vector<std::vector<uint32_t>> thread_hist(
       n_threads, std::vector<uint32_t>(kNumSymbols, 0));
   std::atomic<int64_t> next_blk(0);
@@ -722,7 +723,8 @@ int64_t he_pack_with_code(const uint8_t *in, int64_t in_size,
                (static_cast<uint64_t>(code_bits[s]) << 56);
 
   int hw = static_cast<int>(std::thread::hardware_concurrency());
-  int n_threads = std::max(1, std::min<int64_t>(hw, std::min<int64_t>(n_blocks, 16)));
+  int n_threads = std::max<int>(
+      1, static_cast<int>(std::min<int64_t>(hw, std::min<int64_t>(n_blocks, 16))));
 
   // Pass 1: tokenize into a flat arena with per-block histograms -> exact
   // bit sizes -> output offsets.
