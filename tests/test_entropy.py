@@ -92,6 +92,22 @@ def test_corrupt_stream_raises():
         bitpack.decompress(comp2, 4096, 0)
 
 
+def test_native_builds_when_toolchain_present():
+    """With g++ on PATH the native codec MUST build: a compile error must
+    fail CI loudly, not silently fall back to the NumPy path (a committed
+    build break once hid behind the available() skips below)."""
+    import shutil
+    if shutil.which("g++") is None:
+        pytest.skip("no g++ on PATH")
+    import os
+    if os.environ.get("HIMG_NATIVE", "1") in ("0", "false", ""):
+        pytest.skip("native explicitly disabled")
+    from himg_tpu.native.build import build
+    assert build(force=True) is not None, "native entropy codec failed to compile"
+    from himg_tpu.entropy import native
+    assert native.available()
+
+
 def test_native_backend_parity():
     """Native C++ codec must be byte-identical to the NumPy spec."""
     from himg_tpu.entropy import native
