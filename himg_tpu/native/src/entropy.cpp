@@ -31,8 +31,14 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
 #include <thread>
 #include <vector>
+
+#if defined(__SSE2__)
+#include <emmintrin.h>
+#define HIMG_HAVE_SSE2 1
+#endif
 
 namespace {
 
@@ -79,21 +85,55 @@ class BitWriter {
  public:
   explicit BitWriter(uint8_t *buf) : buf_(buf) {}
 
-  // NOTE: each Put spills one unaligned 8-byte store at the write cursor,
+  // NOTE: each flush spills one unaligned 8-byte store at the write cursor,
   // so the destination buffer needs 8 bytes of slack past the final byte;
   // payload writers therefore target per-thread scratch, not `out`.
+  //
+  // Lazy flush: bits accumulate until >= 32 are pending, so short codes
+  // cost no store at all.  Requires bits <= 32 per call (true for the
+  // format: codes are uint32 and extras <= 14; callers split otherwise).
   inline void Put(uint64_t value, int bits) {
     acc_ |= (value & ((1ull << bits) - 1)) << fill_;
     fill_ += bits;
-    std::memcpy(buf_ + pos_, &acc_, 8);
-    int bytes = fill_ >> 3;
-    pos_ += bytes;
-    acc_ >>= 8 * bytes;
-    fill_ &= 7;
+    if (fill_ >= 32) {
+      std::memcpy(buf_ + pos_, &acc_, 8);
+      int bytes = fill_ >> 3;
+      pos_ += bytes;
+      acc_ >>= 8 * bytes;
+      fill_ &= 7;
+    }
   }
 
-  // Flush a trailing partial byte, merging with existing buffer content.
+  // Put for values already masked to their bit count (combined code pairs
+  // from the fused table have no stray high bits).
+  inline void PutClean(uint64_t value, int bits) {
+    acc_ |= value << fill_;
+    fill_ += bits;
+    if (fill_ >= 32) {
+      std::memcpy(buf_ + pos_, &acc_, 8);
+      int bytes = fill_ >> 3;
+      pos_ += bytes;
+      acc_ >>= 8 * bytes;
+      fill_ &= 7;
+    }
+  }
+
+  // Wide variant for value/bits pairs that may exceed 32 bits (code plus
+  // inline RLE extras); flushes eagerly like the 32-bit path.
+  inline void PutWide(uint64_t value, int bits) {
+    if (bits <= 32) { Put(value, bits); return; }
+    Put(value, 32);
+    Put(value >> 32, bits - 32);
+  }
+
+  // Flush pending whole bytes, then merge a trailing partial byte with
+  // existing buffer content.
   void FlushPartial() {
+    while (fill_ >= 8) {
+      buf_[pos_++] = static_cast<uint8_t>(acc_);
+      acc_ >>= 8;
+      fill_ -= 8;
+    }
     if (fill_ > 0) {
       uint8_t mask = static_cast<uint8_t>((1u << fill_) - 1);
       buf_[pos_] = static_cast<uint8_t>((buf_[pos_] & ~mask) | (acc_ & mask));
@@ -252,41 +292,75 @@ struct LutEntry {
   int8_t bits;
 };
 
-// 12-bit-prefix fast entry: up to two decoded symbols per lookup.
-//   bits 0-8: first symbol; bits 9-17: second symbol (0x1FF = none);
-//   bits 18-23: total code bits consumed; bit 24: valid.
-// Pairs are only formed when the first symbol is a literal (RLE extras
-// would sit between the codes).
-struct Lut12Entry {
-  uint32_t packed;
-};
+// 13-bit-prefix fast entry: up to four decoded *items* per lookup, with
+// short RLE extras folded in (run classes up to 259 decode entirely from
+// the table; class 260 needs 14 extra bits and never fits).
+//
+// uint64 layout:
+//   bits 0-5   total stream bits consumed (codes + inline extras)
+//   bits 6-8   item count (0 = no fast entry, use the slow path)
+//   bits 10+12k  item k (12 bits each, up to 4):
+//                bit 11 set -> zero run, low 11 bits = run length (2..278)
+//                bit 11 clear -> literal byte in the low 8 bits
+constexpr int kLutBits = 13;
+constexpr int kLutSize = 1 << kLutBits;
 
 struct Decoder {
   DecodeNode nodes[kMaxNodes];
   LutEntry lut[256];
-  Lut12Entry lut12[4096];
+  uint64_t lutm[kLutSize];
   int node_count = 0;
   int root = -1;
   int single_leaf_bits = 0;  // 1 when the tree is a lone leaf
 
-  void BuildLut12() {
-    for (int p = 0; p < 4096; ++p) {
-      uint32_t packed = 0;
-      const LutEntry &e1 = lut[p & 0xFF];
-      if (e1.node < 0 && e1.bits <= 12) {
-        int total = e1.bits;
-        uint32_t sym2 = 0x1FF;
-        if (e1.symbol <= 255 && total < 12) {
-          const LutEntry &e2 = lut[(p >> total) & 0xFF];
-          if (e2.node < 0 && total + e2.bits <= 12) {
-            sym2 = static_cast<uint32_t>(e2.symbol);
-            total += e2.bits;
-          }
+  // Decode one symbol from `bits` (LSB-first) using the 8-bit LUT + tree
+  // walk; returns consumed bit count or -1 if it needs > `avail` bits.
+  int SymbolFrom(uint32_t bits, int avail, int *symbol) const {
+    const LutEntry &e = lut[bits & 0xFF];
+    if (e.node < 0) {
+      if (e.bits > avail) return -1;
+      *symbol = e.symbol;
+      return e.bits;
+    }
+    int used = 8, node = e.node;
+    while (nodes[node].symbol < 0) {
+      if (used >= avail) return -1;
+      node = (bits >> used) & 1 ? nodes[node].child_b : nodes[node].child_a;
+      ++used;
+    }
+    *symbol = nodes[node].symbol;
+    return used;
+  }
+
+  void BuildLutM() {
+    for (uint32_t p = 0; p < kLutSize; ++p) {
+      uint64_t packed = 0;
+      int total = 0, n = 0;
+      while (n < 4) {
+        int sym;
+        int used = SymbolFrom(p >> total, kLutBits - total, &sym);
+        if (used < 0) break;
+        uint64_t item;
+        if (sym <= 255) {
+          item = static_cast<uint64_t>(sym);
+        } else if (sym == 260) {
+          break;  // 14 extra bits can never fit a 13-bit entry
+        } else {
+          static constexpr int kEb[4] = {0, 2, 4, 8};
+          static constexpr int kBase[4] = {2, 3, 7, 23};
+          int eb = kEb[sym - 256];
+          if (total + used + eb > kLutBits) break;
+          uint32_t extra = (p >> (total + used)) & ((1u << eb) - 1);
+          item = 0x800u | (kBase[sym - 256] + extra);
+          used += eb;
         }
-        packed = static_cast<uint32_t>(e1.symbol) | (sym2 << 9) |
-                 (static_cast<uint32_t>(total) << 18) | (1u << 24);
+        packed |= item << (10 + 12 * n);
+        total += used;
+        ++n;
       }
-      lut12[p].packed = packed;
+      if (n) packed |= static_cast<uint64_t>(total) |
+                       (static_cast<uint64_t>(n) << 6);
+      lutm[p] = packed;
     }
   }
 };
@@ -335,75 +409,141 @@ bool DecodeStream(const Decoder &d, const uint8_t *in, int64_t in_size,
   BitReader r(in, in_size);
   int64_t filled = 0;
   const bool lone_leaf = d.nodes[d.root].symbol >= 0;
-  while (filled < out_size) {
-    int symbol;
-    if (lone_leaf) {
-      // Degenerate tree: the encoder spends 1 zero-bit per token.
+  if (lone_leaf) {
+    // Degenerate tree: the encoder spends 1 zero-bit per token.
+    const int symbol = d.nodes[d.root].symbol;
+    while (filled < out_size) {
       r.Skip(1);
-      symbol = d.nodes[d.root].symbol;
-    } else {
-      uint32_t peek = r.Peek16();
-      uint32_t fast = d.lut12[peek & 0xFFF].packed;
-      uint32_t sym2 = (fast >> 9) & 0x1FF;
-      // Pair entries need room for both symbols (an RLE second symbol
-      // bounds-checks itself in the shared run path below).
-      bool usable = (fast & (1u << 24)) &&
-                    (sym2 == 0x1FF || sym2 > 255 || filled + 2 <= out_size);
-      if (usable) {
-        if (sym2 <= 255 && sym2 != 0x1FF) {
-          // Two literals per lookup (the common dense-content case).
-          r.Skip((fast >> 18) & 0x3F);
-          out[filled++] = static_cast<uint8_t>(fast & 0x1FF);
-          out[filled++] = static_cast<uint8_t>(sym2);
-          if (r.overrun()) return false;
-          continue;
-        }
-        if (sym2 == 0x1FF) {
-          r.Skip((fast >> 18) & 0x3F);
-          symbol = static_cast<int>(fast & 0x1FF);
-        } else {
-          // Literal + RLE pair: consume both codes, then sym2's extras
-          // below via the shared RLE path.
-          r.Skip((fast >> 18) & 0x3F);
-          out[filled++] = static_cast<uint8_t>(fast & 0x1FF);
-          if (filled >= out_size) {
-            // The literal completed the substream; sym2 was decoded from
-            // the final byte's stale padding bits (a reference encoder
-            // quirk) and must be discarded.
-            break;
-          }
-          symbol = static_cast<int>(sym2);
-        }
+      if (r.overrun()) return false;
+      if (symbol <= 255) {
+        out[filled++] = static_cast<uint8_t>(symbol);
       } else {
-        const LutEntry &e = d.lut[peek & 0xFF];
-        if (e.node < 0) {
-          r.Skip(e.bits);
-          symbol = e.symbol;
-        } else {
-          r.Skip(8);
-          int node = e.node;
-          while (d.nodes[node].symbol < 0) {
-            node = r.Read(1) ? d.nodes[node].child_b : d.nodes[node].child_a;
-            if (r.overrun()) return false;
-          }
-          symbol = d.nodes[node].symbol;
+        int64_t zeros;
+        switch (symbol) {
+          case 256: zeros = 2; break;
+          case 257: zeros = r.Read(2) + 3; break;
+          case 258: zeros = r.Read(4) + 7; break;
+          case 259: zeros = r.Read(8) + 23; break;
+          case 260: zeros = r.Read(14) + 279; break;
+          default: return false;
         }
+        if (r.overrun() || filled + zeros > out_size) return false;
+        std::memset(out + filled, 0, static_cast<size_t>(zeros));
+        filled += zeros;
       }
     }
-    if (r.overrun()) return false;
+    return true;
+  }
+  // Hot loop with explicit local reader state: byte loads through a
+  // uint8_t* alias everything in C++, so member-based state (BitReader)
+  // would be spilled and reloaded around every refill -- locals stay in
+  // registers.
+  int64_t pos = 0;
+  uint64_t acc = 0;
+  int fill = 0;
+  int64_t consumed = 0;
+  const int64_t size_bits = in_size * 8;
+  auto refill = [&]() {
+    if (fill > 56) return;
+    if (pos + 8 <= in_size) {
+      // One unaligned little-endian load; bits of the partially-claimed
+      // top byte get re-ORed identically when that byte is claimed.
+      uint64_t w;
+      std::memcpy(&w, in + pos, 8);
+      acc |= w << fill;
+      int take = (63 - fill) >> 3;
+      pos += take;
+      fill += take * 8;
+    } else {
+      while (fill <= 56) {
+        uint64_t b = pos < in_size ? in[pos] : 0;
+        acc |= b << fill;
+        ++pos;
+        fill += 8;
+      }
+    }
+  };
+  while (filled < out_size) {
+    refill();
+    uint64_t fast = d.lutm[acc & (kLutSize - 1)];
+    if (fast) {
+      // Up to 4 items decoded by one lookup, extras included.  All the
+      // entry's bits are consumed up front; items decoded from a final
+      // byte's stale padding bits (a reference encoder quirk) fall out of
+      // the filled < out_size guard and are discarded.
+      int nb = static_cast<int>(fast & 0x3F);
+      acc >>= nb;
+      fill -= nb;
+      consumed += nb;
+      int n = static_cast<int>((fast >> 6) & 7);
+      uint64_t items = fast >> 10;
+      for (int i = 0; i < n; ++i, items >>= 12) {
+        uint32_t it = static_cast<uint32_t>(items) & 0xFFF;
+        if (it & 0x800) {
+          int64_t zeros = it & 0x7FF;
+          if (filled + zeros > out_size) return false;
+          if (zeros <= 16 && filled + 16 <= out_size) {
+            // Two unconditional 8-byte stores beat a memset call for the
+            // short runs that dominate.
+            std::memset(out + filled, 0, 8);
+            std::memset(out + filled + 8, 0, 8);
+          } else {
+            std::memset(out + filled, 0, static_cast<size_t>(zeros));
+          }
+          filled += zeros;
+        } else {
+          out[filled++] = static_cast<uint8_t>(it);
+        }
+        if (filled >= out_size) break;  // trailing items are stale bits
+      }
+      // Overrun only matters when output remains: the entry may have
+      // consumed stale-padding bits past the physical stream end while
+      // completing the substream, which is valid.
+      if (filled < out_size && consumed > size_bits) return false;
+      continue;
+    }
+    // Slow path: long code (8-bit LUT -> tree walk) or a class-260 run.
+    int symbol;
+    const LutEntry &e = d.lut[acc & 0xFF];
+    if (e.node < 0) {
+      acc >>= e.bits;
+      fill -= e.bits;
+      consumed += e.bits;
+      symbol = e.symbol;
+    } else {
+      acc >>= 8;
+      fill -= 8;
+      consumed += 8;
+      int node = e.node;
+      while (d.nodes[node].symbol < 0) {
+        refill();
+        node = (acc & 1) ? d.nodes[node].child_b : d.nodes[node].child_a;
+        acc >>= 1;
+        --fill;
+        ++consumed;
+        if (consumed > size_bits) return false;
+      }
+      symbol = d.nodes[node].symbol;
+    }
+    if (consumed > size_bits) return false;
     if (symbol <= 255) {
       out[filled++] = static_cast<uint8_t>(symbol);
     } else {
+      refill();
       int64_t zeros;
+      int eb = 0;
       switch (symbol) {
         case 256: zeros = 2; break;
-        case 257: zeros = r.Read(2) + 3; break;
-        case 258: zeros = r.Read(4) + 7; break;
-        case 259: zeros = r.Read(8) + 23; break;
-        case 260: zeros = r.Read(14) + 279; break;
+        case 257: zeros = (acc & 3) + 3; eb = 2; break;
+        case 258: zeros = (acc & 15) + 7; eb = 4; break;
+        case 259: zeros = (acc & 255) + 23; eb = 8; break;
+        case 260: zeros = (acc & 16383) + 279; eb = 14; break;
         default: return false;
       }
-      if (r.overrun() || filled + zeros > out_size) return false;
+      acc >>= eb;
+      fill -= eb;
+      consumed += eb;
+      if (consumed > size_bits || filled + zeros > out_size) return false;
       std::memset(out + filled, 0, static_cast<size_t>(zeros));
       filled += zeros;
     }
@@ -425,70 +565,291 @@ int64_t he_max_compressed_size(int64_t in_size, int64_t block_size) {
 
 namespace {
 
-// One RLE/literal token packed into 32 bits:
-//   bits 0-8  symbol, bits 9-12 extra-bit count, bits 13-26 extra value.
-using Token = uint32_t;
-inline Token MakeToken(int sym, uint32_t extra, int ebits) {
-  return static_cast<uint32_t>(sym) | (static_cast<uint32_t>(ebits) << 9) |
-         (extra << 13);
-}
+// A block tokenizes into *segments*: a stretch of literal bytes (re-read
+// from the input at pack time -- no per-literal token is ever stored)
+// followed by one zero run of >= 2 (zeros == 0 marks a trailing
+// literal-only segment).  Single zeros stay inside literal stretches (the
+// format codes a 1-run as literal symbol 0).  This keeps the token side
+// memory traffic at ~8 bytes per *run* instead of 4 bytes per *byte*.
+struct Seg {
+  uint32_t lit;    // literal bytes preceding the run
+  uint32_t zeros;  // run length (>= 2), or 0 for the block tail
+};
+
+// Worst-case segments per block: every segment except a leading (0, 2)
+// covers >= 3 input bytes (lit >= 1 plus run >= 2, or a post-cap run of
+// >= 2 preceded by a 16662-byte run).
+inline int64_t MaxSegs(int64_t block_size) { return block_size / 3 + 4; }
 
 // True when an 8-byte word contains a zero byte (Mycroft's trick).
 inline bool HasZeroByte(uint64_t w) {
   return ((w - 0x0101010101010101ull) & ~w & 0x8080808080808080ull) != 0;
 }
 
-// Tokenize one block into `tokens` (pre-sized to >= block_size) and bump
-// the per-block 261-bin histogram; returns (token_count, extra_bits) via
-// out-params.  Dense literal stretches are emitted 8 at a time without
-// per-byte branches; zero runs skip by 64-bit words.
-inline void TokenizeBlock(const uint8_t *blk, int64_t block_size,
-                          Token *tokens, uint32_t *hist,
-                          int64_t *n_tokens, int64_t *extra_bits) {
-  int64_t k = 0;
-  Token *tp = tokens;
+// Tokenize one block into `segs` (pre-sized to >= MaxSegs(block_size)) and
+// bump the per-block 261-bin histogram; returns (seg_count, extra_bits)
+// via out-params.  Dense literal stretches histogram 8 bytes per load;
+// zero runs skip by 64-bit words.
+// Tokenizer state shared by the SIMD and scalar paths.  Zero-run
+// bookkeeping: runs are closed through CloseRun, which applies the
+// kMaxRun cap exactly like the reference's per-run limit (a capped run
+// restarts counting, so a 16663-zero run is run(16662) + literal 0) and
+// leaves single zeros inside the literal stretch (symbol 0 is a literal).
+struct TokState {
+  Seg *sp;
+  uint32_t *hist;
+  int64_t lit_start = 0;      // absolute offset of the open literal stretch
+  int64_t run_begin = 0;      // absolute offset of the open zero run
+  int64_t cur_zrun = 0;       // length of the open zero run
+  int64_t run_zeros = 0;      // zeros covered by emitted run segments
   int64_t extra_total = 0;
-  while (k < block_size) {
-    // Branch-light literal burst: whole words without zero bytes.
-    while (k + 8 <= block_size) {
-      uint64_t w;
-      std::memcpy(&w, blk + k, 8);
-      if (HasZeroByte(w)) break;
-      for (int i = 0; i < 8; ++i) {
-        uint8_t v = static_cast<uint8_t>(w >> (8 * i));
-        hist[v]++;
-        *tp++ = MakeToken(v, 0, 0);
-      }
-      k += 8;
+
+  inline void CloseRun() {
+    int64_t r = cur_zrun;
+    int64_t begin = run_begin;
+    while (r >= 2) {
+      int64_t z = std::min<int64_t>(r, kMaxRun);
+      uint32_t extra;
+      int ebits;
+      int sym = RunSymbol(static_cast<int>(z), &extra, &ebits);
+      hist[sym]++;
+      extra_total += ebits;
+      *sp++ = {static_cast<uint32_t>(begin - lit_start),
+               static_cast<uint32_t>(z)};
+      begin += z;
+      lit_start = begin;
+      run_zeros += z;
+      r -= z;
+      if (r == 1) break;  // leftover single zero stays a literal
     }
-    if (k >= block_size) break;
-    uint8_t v = blk[k];
-    if (v != 0) {
-      hist[v]++;
-      *tp++ = MakeToken(v, 0, 0);
-      ++k;
+    cur_zrun = 0;
+  }
+};
+
+inline void TokenizeBlock(const uint8_t *blk, int64_t block_size,
+                          Seg *segs, uint32_t *hist,
+                          int64_t *n_segs, int64_t *extra_bits) {
+  // 4-way striped literal histogram: planes repeat the same byte for long
+  // stretches, so a single counter array serializes on store-to-load
+  // forwarding; striping turns dependent increments into independent ones.
+  // Zero bytes are histogrammed unconditionally in mixed chunks and
+  // corrected at the end (hist[0] must count only single zeros).
+  uint32_t h4[4][256] = {{0}};
+  TokState st;
+  st.sp = segs;
+  st.hist = hist;
+  int64_t zeros_hist = 0;  // zero bytes that went through h4
+  int64_t zeros_all = 0;   // all zero bytes seen
+  int64_t k = 0;
+
+#if HIMG_HAVE_SSE2
+  const __m128i vzero = _mm_setzero_si128();
+  for (; k + 16 <= block_size; k += 16) {
+    __m128i v = _mm_loadu_si128(reinterpret_cast<const __m128i *>(blk + k));
+    uint32_t m = static_cast<uint32_t>(
+        _mm_movemask_epi8(_mm_cmpeq_epi8(v, vzero)));
+    if (m == 0) {                       // pure literal chunk
+      if (st.cur_zrun) st.CloseRun();
+      uint64_t lo, hi;
+      std::memcpy(&lo, blk + k, 8);
+      std::memcpy(&hi, blk + k + 8, 8);
+      h4[0][static_cast<uint8_t>(lo)]++;
+      h4[1][static_cast<uint8_t>(lo >> 8)]++;
+      h4[2][static_cast<uint8_t>(lo >> 16)]++;
+      h4[3][static_cast<uint8_t>(lo >> 24)]++;
+      h4[0][static_cast<uint8_t>(lo >> 32)]++;
+      h4[1][static_cast<uint8_t>(lo >> 40)]++;
+      h4[2][static_cast<uint8_t>(lo >> 48)]++;
+      h4[3][static_cast<uint8_t>(lo >> 56)]++;
+      h4[0][static_cast<uint8_t>(hi)]++;
+      h4[1][static_cast<uint8_t>(hi >> 8)]++;
+      h4[2][static_cast<uint8_t>(hi >> 16)]++;
+      h4[3][static_cast<uint8_t>(hi >> 24)]++;
+      h4[0][static_cast<uint8_t>(hi >> 32)]++;
+      h4[1][static_cast<uint8_t>(hi >> 40)]++;
+      h4[2][static_cast<uint8_t>(hi >> 48)]++;
+      h4[3][static_cast<uint8_t>(hi >> 56)]++;
       continue;
     }
-    int64_t z = 1;
-    int64_t limit = std::min<int64_t>(block_size - k, kMaxRun);
-    // Fast-skip aligned zero words.
-    while (z + 8 <= limit) {
-      uint64_t w;
-      std::memcpy(&w, blk + k + z, 8);
-      if (w != 0) break;
-      z += 8;
+    if (m == 0xFFFF) {                  // pure zero chunk: extend the run
+      if (st.cur_zrun == 0) st.run_begin = k;
+      st.cur_zrun += 16;
+      zeros_all += 16;
+      continue;
     }
-    while (z < limit && blk[k + z] == 0) ++z;
-    uint32_t extra;
-    int ebits;
-    int sym = RunSymbol(static_cast<int>(z), &extra, &ebits);
-    hist[sym]++;
-    extra_total += ebits;
-    *tp++ = MakeToken(sym, extra, ebits);
-    k += z;
+    // Mixed chunk: histogram everything (zeros corrected later), then
+    // walk the zero mask's bit runs.
+    {
+      uint64_t lo, hi;
+      std::memcpy(&lo, blk + k, 8);
+      std::memcpy(&hi, blk + k + 8, 8);
+      h4[0][static_cast<uint8_t>(lo)]++;
+      h4[1][static_cast<uint8_t>(lo >> 8)]++;
+      h4[2][static_cast<uint8_t>(lo >> 16)]++;
+      h4[3][static_cast<uint8_t>(lo >> 24)]++;
+      h4[0][static_cast<uint8_t>(lo >> 32)]++;
+      h4[1][static_cast<uint8_t>(lo >> 40)]++;
+      h4[2][static_cast<uint8_t>(lo >> 48)]++;
+      h4[3][static_cast<uint8_t>(lo >> 56)]++;
+      h4[0][static_cast<uint8_t>(hi)]++;
+      h4[1][static_cast<uint8_t>(hi >> 8)]++;
+      h4[2][static_cast<uint8_t>(hi >> 16)]++;
+      h4[3][static_cast<uint8_t>(hi >> 24)]++;
+      h4[0][static_cast<uint8_t>(hi >> 32)]++;
+      h4[1][static_cast<uint8_t>(hi >> 40)]++;
+      h4[2][static_cast<uint8_t>(hi >> 48)]++;
+      h4[3][static_cast<uint8_t>(hi >> 56)]++;
+    }
+    int pc = __builtin_popcount(m);
+    zeros_hist += pc;
+    zeros_all += pc;
+    // Open run from the previous chunk ends here unless bit 0 is set.
+    if (st.cur_zrun && !(m & 1)) st.CloseRun();
+    uint32_t mm = m;
+    while (mm) {
+      int s = __builtin_ctz(mm);
+      uint32_t tail = mm >> s;
+      int r = tail == 0xFFFFFFFFu ? 32 : __builtin_ctz(~tail);
+      if (s == 0 && st.cur_zrun) {
+        st.cur_zrun += r;               // continuation across the border
+      } else {
+        if (st.cur_zrun) st.CloseRun();
+        st.run_begin = k + s;
+        st.cur_zrun = r;
+      }
+      if (s + r >= 16) break;           // run reaches the chunk end
+      st.CloseRun();                    // run ended inside the chunk
+      mm &= ~(((1u << r) - 1) << s);
+    }
   }
-  *n_tokens = tp - tokens;
-  *extra_bits = extra_total;
+#endif  // HIMG_HAVE_SSE2
+
+  // Scalar tail (and full fallback without SSE2).
+  for (; k < block_size; ++k) {
+    uint8_t v = blk[k];
+    if (v == 0) {
+      if (st.cur_zrun == 0) st.run_begin = k;
+      st.cur_zrun++;
+      zeros_all++;
+      continue;
+    }
+    if (st.cur_zrun) st.CloseRun();
+    h4[k & 3][v]++;
+  }
+  if (st.cur_zrun) st.CloseRun();
+
+  for (int s = 0; s < 256; ++s)
+    hist[s] += h4[0][s] + h4[1][s] + h4[2][s] + h4[3][s];
+  // h4 counted zeros_hist zeros into bin 0; only single zeros (all zeros
+  // minus run-covered ones) are literal symbol 0.
+  hist[0] += static_cast<uint32_t>((zeros_all - st.run_zeros) - zeros_hist);
+  if (st.lit_start < block_size)
+    *st.sp++ = {static_cast<uint32_t>(block_size - st.lit_start), 0};
+  *n_segs = st.sp - segs;
+  *extra_bits = st.extra_total;
+}
+
+// Pack one tokenized block into dst (which needs 8 bytes of slack past
+// the final byte; callers use per-thread scratch).  Literal bytes come
+// straight from the input, runs from the segment list.
+// fused[s] = code | bits << 56.
+//
+// All writer state lives in locals: byte stores through a uint8_t*
+// alias *everything* in C++, so member-based state (the BitWriter) gets
+// spilled and reloaded around every flush -- locals stay in registers.
+// Literal codes are also combined pairwise before hitting the
+// accumulator, halving its dependency chain.  A trailing partial byte is
+// merged with the pre-existing dst content (the stale-bit parity quirk).
+inline void PackBlock(const uint8_t *blk, const Seg *segs, int64_t n_segs,
+                      const uint64_t *fused, uint8_t *dst) {
+  uint8_t *p = dst;
+  uint64_t acc = 0;
+  int fill = 0;
+  auto put_clean = [&](uint64_t v, int bits) {
+    acc |= v << fill;
+    fill += bits;
+    if (fill >= 32) {
+      std::memcpy(p, &acc, 8);
+      p += fill >> 3;
+      acc >>= (fill & ~7);
+      fill &= 7;
+    }
+  };
+  auto put2 = [&](uint64_t v, int b, uint64_t c1, int b1, uint64_t c2,
+                  int b2) {
+    if (b <= 32) {
+      put_clean(v, b);
+    } else {  // deep-tree fallback
+      put_clean(c1, b1);
+      put_clean(c2, b2);
+    }
+  };
+  const uint8_t *lp = blk;
+  for (int64_t s = 0; s < n_segs; ++s) {
+    const uint8_t *le = lp + segs[s].lit;
+    // Four literals per accumulator op when their codes fit 32 bits
+    // (common: codes average 3-5 bits); the two pair-combines are
+    // independent, halving the serial acc/fill chain again.
+    for (; lp + 4 <= le; lp += 4) {
+      uint64_t c1 = fused[lp[0]] & 0xFFFFFFFFFFFFFFull;
+      uint64_t c2 = fused[lp[1]] & 0xFFFFFFFFFFFFFFull;
+      uint64_t c3 = fused[lp[2]] & 0xFFFFFFFFFFFFFFull;
+      uint64_t c4 = fused[lp[3]] & 0xFFFFFFFFFFFFFFull;
+      int b1 = static_cast<int>(fused[lp[0]] >> 56);
+      int b2 = static_cast<int>(fused[lp[1]] >> 56);
+      int b3 = static_cast<int>(fused[lp[2]] >> 56);
+      int b4 = static_cast<int>(fused[lp[3]] >> 56);
+      uint64_t v12 = c1 | (c2 << b1);
+      uint64_t v34 = c3 | (c4 << b3);
+      int b12 = b1 + b2, b34 = b3 + b4;
+      if (b12 + b34 <= 32) {
+        put_clean(v12 | (v34 << b12), b12 + b34);
+      } else {
+        put2(v12, b12, c1, b1, c2, b2);
+        put2(v34, b34, c3, b3, c4, b4);
+      }
+    }
+    for (; lp + 2 <= le; lp += 2) {
+      uint64_t e1 = fused[lp[0]], e2 = fused[lp[1]];
+      int b1 = static_cast<int>(e1 >> 56), b2 = static_cast<int>(e2 >> 56);
+      put2((e1 & 0xFFFFFFFFFFFFFFull) | ((e2 & 0xFFFFFFFFFFFFFFull) << b1),
+           b1 + b2, e1 & 0xFFFFFFFFFFFFFFull, b1,
+           e2 & 0xFFFFFFFFFFFFFFull, b2);
+    }
+    if (lp != le) {
+      uint64_t e = fused[*lp++];
+      put_clean(e & 0xFFFFFFFFFFFFFFull, static_cast<int>(e >> 56));
+    }
+    uint32_t z = segs[s].zeros;
+    if (z) {
+      uint32_t extra;
+      int ebits;
+      int sym = RunSymbol(static_cast<int>(z), &extra, &ebits);
+      uint64_t e = fused[sym];
+      int nb = static_cast<int>(e >> 56);
+      int total = nb + ebits;
+      uint64_t v = (e & 0xFFFFFFFFFFFFFFull) |
+                   (static_cast<uint64_t>(extra) << nb);
+      if (total <= 32) {
+        put_clean(v, total);
+      } else {
+        put_clean(v & 0xFFFFFFFFu, 32);
+        put_clean(v >> 32, total - 32);
+      }
+      lp += z;
+    }
+  }
+  // Flush pending whole bytes, then merge the partial byte with dst's
+  // pre-existing content.
+  while (fill >= 8) {
+    *p++ = static_cast<uint8_t>(acc);
+    acc >>= 8;
+    fill -= 8;
+  }
+  if (fill > 0) {
+    uint8_t mask = static_cast<uint8_t>((1u << fill) - 1);
+    *p = static_cast<uint8_t>((*p & ~mask) | (acc & mask));
+  }
 }
 
 }  // namespace
@@ -516,11 +877,12 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
   int hw = static_cast<int>(std::thread::hardware_concurrency());
   int n_threads = std::max(1, std::min<int>(hw, static_cast<int>(
       std::min<int64_t>(n_blocks, 16))));
-  // Token storage: one flat arena (worst case one token per byte).
-  std::vector<Token> token_arena(static_cast<size_t>(in_size));
-  std::vector<int64_t> tok_count(n_blocks);
-  std::vector<std::vector<uint32_t>> block_hist(
-      n_blocks, std::vector<uint32_t>(kNumSymbols, 0));
+  // Segment storage: one flat *uninitialized* arena (a value-initialized
+  // vector would memset multiple MB for nothing).
+  const int64_t seg_stride = MaxSegs(block_size);
+  std::unique_ptr<Seg[]> seg_arena(new Seg[seg_stride * n_blocks]);
+  std::vector<int64_t> seg_count(n_blocks);
+  std::vector<uint32_t> block_hist(n_blocks * kNumSymbols, 0);
   std::vector<int64_t> block_extra_bits(n_blocks);
   {
     std::atomic<int64_t> next_blk(0);
@@ -529,8 +891,8 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
         int64_t b = next_blk.fetch_add(1, std::memory_order_relaxed);
         if (b >= n_blocks) break;
         TokenizeBlock(in + b * block_size, block_size,
-                      token_arena.data() + b * block_size,
-                      block_hist[b].data(), &tok_count[b],
+                      seg_arena.get() + b * seg_stride,
+                      block_hist.data() + b * kNumSymbols, &seg_count[b],
                       &block_extra_bits[b]);
       }
     };
@@ -541,8 +903,9 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
   }
   pt.lap("tokenize");
   int64_t hist[kNumSymbols] = {0};
-  for (auto &h : block_hist)
-    for (int s = 0; s < kNumSymbols; ++s) hist[s] += h[s];
+  for (int64_t b = 0; b < n_blocks; ++b)
+    for (int s = 0; s < kNumSymbols; ++s)
+      hist[s] += block_hist[b * kNumSymbols + s];
 
   // Tree + header (+16 slack for the writer's 8-byte spill, later
   // overwritten by the first block's prefix/payload).
@@ -572,7 +935,7 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
   std::vector<int64_t> bit_sizes(n_blocks);
   for (int64_t b = 0; b < n_blocks; ++b) {
     int64_t bits = block_extra_bits[b];
-    const uint32_t *h = block_hist[b].data();
+    const uint32_t *h = block_hist.data() + b * kNumSymbols;
     for (int s = 0; s < kNumSymbols; ++s)
       bits += static_cast<int64_t>(h[s]) * table.bits[s];
     bit_sizes[b] = bits;
@@ -616,18 +979,8 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
           }
         }
         if (bit_sizes[b] & 7) scratch[packed - 1] = 0;  // defined partial byte
-        BitWriter w(scratch.data());
-        const Token *tp = token_arena.data() + b * block_size;
-        const Token *te = tp + tok_count[b];
-        for (; tp != te; ++tp) {
-          Token t = *tp;
-          uint64_t e = fused[t & 0x1FF];  // code | bits<<56
-          int nb = static_cast<int>(e >> 56);
-          w.Put((e & 0xFFFFFFFFFFFFFFull) |
-                    (static_cast<uint64_t>(t >> 13) << nb),
-                nb + ((t >> 9) & 0xF));
-        }
-        w.FlushPartial();
+        PackBlock(in + b * block_size, seg_arena.get() + b * seg_stride,
+                  seg_count[b], fused, scratch.data());
         std::memcpy(dst, scratch.data(), static_cast<size_t>(packed));
       }
     };
@@ -681,13 +1034,13 @@ int32_t he_histogram(const uint8_t *in, int64_t in_size, int64_t block_size,
       n_threads, std::vector<uint32_t>(kNumSymbols, 0));
   std::atomic<int64_t> next_blk(0);
   auto worker = [&](int tid) {
-    std::vector<Token> scratch(static_cast<size_t>(block_size));
-    int64_t n_tok, ebits;
+    std::vector<Seg> scratch(static_cast<size_t>(MaxSegs(block_size)));
+    int64_t n_seg, ebits;
     while (true) {
       int64_t b = next_blk.fetch_add(1, std::memory_order_relaxed);
       if (b >= n_blocks) break;
       TokenizeBlock(in + b * block_size, block_size, scratch.data(),
-                    thread_hist[tid].data(), &n_tok, &ebits);
+                    thread_hist[tid].data(), &n_seg, &ebits);
     }
   };
   std::vector<std::thread> ts;
@@ -728,10 +1081,10 @@ int64_t he_pack_with_code(const uint8_t *in, int64_t in_size,
 
   // Pass 1: tokenize into a flat arena with per-block histograms -> exact
   // bit sizes -> output offsets.
-  std::vector<Token> token_arena(static_cast<size_t>(in_size));
-  std::vector<int64_t> tok_count(n_blocks);
-  std::vector<std::vector<uint32_t>> block_hist(
-      n_blocks, std::vector<uint32_t>(kNumSymbols, 0));
+  const int64_t seg_stride = MaxSegs(block_size);
+  std::unique_ptr<Seg[]> seg_arena(new Seg[seg_stride * n_blocks]);
+  std::vector<int64_t> seg_count(n_blocks);
+  std::vector<uint32_t> block_hist(n_blocks * kNumSymbols, 0);
   std::vector<int64_t> block_extra(n_blocks);
   {
     std::atomic<int64_t> next_blk(0);
@@ -740,8 +1093,9 @@ int64_t he_pack_with_code(const uint8_t *in, int64_t in_size,
         int64_t b = next_blk.fetch_add(1, std::memory_order_relaxed);
         if (b >= n_blocks) break;
         TokenizeBlock(in + b * block_size, block_size,
-                      token_arena.data() + b * block_size,
-                      block_hist[b].data(), &tok_count[b], &block_extra[b]);
+                      seg_arena.get() + b * seg_stride,
+                      block_hist.data() + b * kNumSymbols, &seg_count[b],
+                      &block_extra[b]);
       }
     };
     std::vector<std::thread> ts;
@@ -753,7 +1107,7 @@ int64_t he_pack_with_code(const uint8_t *in, int64_t in_size,
   offsets[0] = 0;
   for (int64_t b = 0; b < n_blocks; ++b) {
     int64_t bits = block_extra[b];
-    const uint32_t *h = block_hist[b].data();
+    const uint32_t *h = block_hist.data() + b * kNumSymbols;
     for (int s = 0; s < kNumSymbols; ++s)
       bits += static_cast<int64_t>(h[s]) * code_bits[s];
     bits_out[b] = bits;
@@ -774,18 +1128,8 @@ int64_t he_pack_with_code(const uint8_t *in, int64_t in_size,
       while (true) {
         int64_t b = next_blk.fetch_add(1, std::memory_order_relaxed);
         if (b >= n_blocks) break;
-        BitWriter w(scratch.data());
-        const Token *tp = token_arena.data() + b * block_size;
-        const Token *te = tp + tok_count[b];
-        for (; tp != te; ++tp) {
-          Token t = *tp;
-          uint64_t e = fused[t & 0x1FF];
-          int nb = static_cast<int>(e >> 56);
-          w.Put((e & 0xFFFFFFFFFFFFFFull) |
-                    (static_cast<uint64_t>(t >> 13) << nb),
-                nb + ((t >> 9) & 0xF));
-        }
-        w.FlushPartial();
+        PackBlock(in + b * block_size, seg_arena.get() + b * seg_stride,
+                  seg_count[b], fused, scratch.data());
         std::memcpy(out + offsets[b], scratch.data(),
                     static_cast<size_t>(sizes_out[b]));
       }
@@ -814,7 +1158,7 @@ int32_t he_decompress(const uint8_t *in, int64_t in_size, int64_t block_size,
   BitReader tree_reader(in, in_size);
   dec.root = RecoverTree(&tree_reader, &dec, 0, 0);
   if (dec.root < 0) return -3;
-  dec.BuildLut12();
+  if (dec.nodes[dec.root].symbol < 0) dec.BuildLutM();
   int64_t tree_bytes = (tree_reader.consumed_bits() + 7) / 8;
   pt.lap("tree+lut");
 
