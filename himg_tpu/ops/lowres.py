@@ -256,7 +256,7 @@ def _map_steps(map_small, unmap_lut):
 
 
 def _feedback_scan(tiles_in, pred_id, decode: bool, map_small, unmap_lut,
-                   unroll: bool | None = None, geval: str = "bcast"):
+                   unroll: bool | None = None, geval: str | None = None):
     """Shared raster scan with reconstruction feedback over [T, 16, 16] tiles.
 
     encode (decode=False): tiles_in holds actual samples; emits
@@ -280,11 +280,17 @@ def _feedback_scan(tiles_in, pred_id, decode: bool, map_small, unmap_lut,
     the MXU (int8 halves the vreg traffic; value steps split into two
     int8 planes because dpos can exceed 127).
     """
-    if unroll is None:
+    if unroll is None or geval is None:
         try:
-            unroll = jax.devices()[0].platform != "cpu"
+            on_tpu = jax.devices()[0].platform != "cpu"
         except RuntimeError:
-            unroll = False
+            on_tpu = False
+        if unroll is None:
+            unroll = on_tpu
+        if geval is None:
+            # int8 MXU threshold contraction wins on TPU (microbench
+            # enc_scan receipts); bcast compiles faster on CPU.
+            geval = "dot8" if on_tpu else "bcast"
     t = tiles_in.shape[0]
     pred_oh = jax.nn.one_hot(pred_id, 5, dtype=jnp.int32)  # [T, 5]
     tiles32 = tiles_in.astype(jnp.int32)
@@ -401,9 +407,14 @@ def encode_deltas(lowres: jnp.ndarray, pred_id: jnp.ndarray,
     tiles, (mr, mc) = _to_tiles(lowres.astype(jnp.int16))
     deltas = _feedback_scan(tiles, pred_id.reshape(-1), False, map_small,
                             unmap_lut)
-    # Wire-byte companding happens outside the feedback loop: one small
-    # whole-grid lookup instead of 256 in-scan gathers.
-    wire = map_small[_from_tiles(deltas, lowres.shape) + 511]
+    # Wire-byte companding outside the feedback loop, gather-free: the
+    # mapper index is the count of thresholds <= |d| (the same step
+    # representation the scan uses; a whole-grid LUT gather here cost
+    # ~15 ms per 16x1080p, tools/microbench receipts).
+    d = _from_tiles(deltas, lowres.shape)
+    th, _ = _map_steps(map_small, unmap_lut)
+    idx = (jnp.abs(d)[..., None] >= th).sum(axis=-1).astype(jnp.int32)
+    wire = jnp.where(d == 0, 0, jnp.where(d > 0, idx, (-idx) & 0xFF))
     return wire.astype(jnp.uint8)
 
 

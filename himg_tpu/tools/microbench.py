@@ -34,19 +34,35 @@ import numpy as np
 from ..utils.profiling import device_sync
 
 
-def _timeit(fn, *args, iters: int = 5, warmup: int = 2) -> float:
-    """Best-of wall seconds for fn(*args) with forced device completion."""
+def _timeit(fn, *args, iters: int = 8, warmup: int = 2,
+            rounds: int = 3) -> float:
+    """Best-of wall seconds for one fn(*args) with forced completion.
+
+    Dispatches `iters` calls back-to-back and syncs once: on a tunneled
+    runtime a single dispatch+sync round-trip costs tens of ms, which
+    would floor every per-stage number (the round-1 receipts had this
+    flaw).  The residual floor is ~(1 sync)/iters; `sync_floor` below
+    measures it for transparency.
+    """
     out = None
     for _ in range(warmup):
         out = fn(*args)
     device_sync(jax.tree_util.tree_leaves(out)[0])
     best = float("inf")
-    for _ in range(iters):
+    for _ in range(rounds):
         t0 = time.perf_counter()
-        out = fn(*args)
+        for _ in range(iters):
+            out = fn(*args)
         device_sync(jax.tree_util.tree_leaves(out)[0])
-        best = min(best, time.perf_counter() - t0)
+        best = min(best, (time.perf_counter() - t0) / iters)
     return best
+
+
+def _sync_floor() -> float:
+    """Measured dispatch+sync round-trip for a trivial program (the
+    additive overhead left in every _timeit number, divided by iters)."""
+    tiny = jax.jit(lambda x: x + 1)
+    return _timeit(tiny, jnp.zeros((8,), jnp.int32), iters=8)
 
 
 def _emit(bench: str, value: float, unit: str, note: str = "") -> dict:
@@ -395,6 +411,8 @@ def main(argv=None) -> None:
                       "value": 0,
                       "unit": jax.devices()[0].platform,
                       "note": str(jax.devices()[0])}), flush=True)
+    _emit("_sync_floor", 1e3 * _sync_floor(), "ms",
+          "residual dispatch+sync overhead inside every number below")
     for name in names:
         BENCHES[name](args.quick)
 
