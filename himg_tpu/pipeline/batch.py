@@ -4,9 +4,11 @@ BatchCodec amortizes device dispatch, compilation, and transfer overheads
 over batches of same-shaped frames:
 
 - the transform stages run as one batched (vmapped) device program;
-- device outputs cross to the host as a single flattened uint8 buffer
-  (multi-dim device->host copies take a drastically slower path on
-  tunneled runtimes, and flat sparse planes compress on the wire);
+- device outputs cross to the host as two flat buffers per chunk: a small
+  one (predictors + low-res deltas, ~1.6 MB/16 frames) and the big FRES
+  plane buffer, each already in its natural layout.  Concatenating them
+  into one buffer costs a full 100 MB relayout pass on device (~7 ms per
+  16x1080p, measured) and saves only one transfer round-trip;
 - chunks of the batch are pipelined: while the device transforms chunk
   k+1, the host entropy-codes chunk k (the native codec releases the GIL).
 
@@ -22,15 +24,33 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .decode import _decode_device, parse_container
-from .encode import EncodeTables, _encode_device, assemble_container
+from .decode import _decode_device_planar, parse_container
+from .encode import EncodeTables, _encode_device_planar, assemble_container
 
 
 class BatchCodec:
-    """Encode/decode batches of [H, W, C] uint8 frames at one quality."""
+    """Encode/decode batches of same-geometry frames at one quality.
+
+    pixel_format:
+      - "hwc": frames are [B, H, W, C] uint8 (the reference API layout).
+        The u8 channel interleave <-> planar transposes cost ~2.6 ms of
+        pure relayout per 1080p frame on a v5e.
+      - "packed": channel-packed pixels -- uint32 [B, H, W] with channel k
+        in byte k (little-endian) for c in (3, 4), plain uint8 [B, H, W]
+        for c == 1.  Packing/unpacking is elementwise shifts (no
+        transpose), and decode_batch returns a zero-copy byte view of the
+        transferred buffer.  This is the production-throughput path
+        (video feeds are commonly RGBX/BGRX already).
+    """
 
     def __init__(self, h: int, w: int, c: int, quality: int = 50,
-                 use_ycbcr: bool = True, chunk: int = 4):
+                 use_ycbcr: bool = True, chunk: int = 4,
+                 pixel_format: str = "hwc"):
+        if pixel_format not in ("hwc", "packed"):
+            raise ValueError(f"unknown pixel_format {pixel_format!r}")
+        if pixel_format == "packed" and c not in (1, 3, 4):
+            raise ValueError("packed pixel_format supports 1/3/4 channels")
+        self.pixel_format = pixel_format
         self.h, self.w, self.c = h, w, c
         self.chunk = chunk
         self.use_ycbcr = bool(use_ycbcr) and c >= 3
@@ -41,83 +61,114 @@ class BatchCodec:
             "pred": (c, mr, mc), "delta": (c, self.rows, self.cols),
             "fres": (self.rows, c, 64, self.cols),
         }
+        # pred/delta offsets inside the small per-image buffer.
+        self._npred = int(np.prod(self._shapes["pred"]))
+        self._ndelta = int(np.prod(self._shapes["delta"]))
+        self._small = self._npred + self._ndelta
 
         from ..ops import pallas_kernels as pk
         use_pallas = pk.default_enabled()
 
-        def enc_flat(frames, *targs):
-            pred, delta, fres = jax.vmap(
-                partial(_encode_device, use_ycbcr=self.use_ycbcr,
-                        use_pallas=use_pallas),
-                in_axes=(0, None, None, None, None))(frames, *targs)
-            b = frames.shape[0]
-            flat = jnp.concatenate([
-                pred.astype(jnp.uint8).reshape(b, -1),
-                delta.reshape(b, -1), fres.reshape(b, -1)], axis=1)
-            return flat.reshape(-1)
+        def to_planar(frames):
+            """Batch frames in self.pixel_format -> [B, C, H, W] uint8."""
+            if self.pixel_format == "hwc":
+                return jnp.moveaxis(frames, -1, 1)
+            if self.c == 1:
+                return frames[:, None]
+            return jnp.stack(
+                [((frames >> (8 * k)) & 0xFF).astype(jnp.uint8)
+                 for k in range(self.c)], axis=1)
 
-        def dec_stage(flat, shift_tables, fr_pos, lr_unmap, b):
-            npred = int(np.prod(self._shapes["pred"]))
-            ndelta = int(np.prod(self._shapes["delta"]))
-            nfres = int(np.prod(self._shapes["fres"]))
-            per = npred + ndelta + nfres
-            x = flat.reshape(b, per)
-            pred = x[:, :npred].astype(jnp.int32).reshape(
+        def from_planar(img):
+            """[B, C, H8, W8] uint8 -> flat output in self.pixel_format."""
+            if self.pixel_format == "hwc":
+                return jnp.moveaxis(img, 1, -1).reshape(-1)
+            if self.c == 1:
+                return img.reshape(-1)
+            out = img[:, 0].astype(jnp.uint32)
+            for k in range(1, self.c):
+                out = out | (img[:, k].astype(jnp.uint32) << (8 * k))
+            return out.reshape(-1)
+
+        def enc_stage(frames, *targs):
+            pred, delta, fres = jax.vmap(
+                partial(_encode_device_planar, use_ycbcr=self.use_ycbcr,
+                        use_pallas=use_pallas),
+                in_axes=(0, None, None, None, None))(to_planar(frames),
+                                                     *targs)
+            b = frames.shape[0]
+            small = jnp.concatenate([pred.astype(jnp.uint8).reshape(b, -1),
+                                     delta.reshape(b, -1)], axis=1)
+            return small, fres
+
+        def dec_stage(small, fres, shift_tables, fr_pos, lr_unmap):
+            b = small.shape[0]
+            pred = small[:, :self._npred].astype(jnp.int32).reshape(
                 b, self.c, -1)
-            delta = x[:, npred:npred + ndelta].reshape(
+            delta = small[:, self._npred:].reshape(
                 (b,) + self._shapes["delta"])
-            fres = x[:, npred + ndelta:].reshape((b,) + self._shapes["fres"])
             img = jax.vmap(
-                partial(_decode_device, use_ycbcr=self.use_ycbcr,
+                partial(_decode_device_planar, use_ycbcr=self.use_ycbcr,
                         use_pallas=use_pallas),
                 in_axes=(0, 0, 0, None, None, None))(
                     fres, delta, pred, shift_tables, fr_pos, lr_unmap)
-            return img.reshape(-1)  # flat for the fast transfer path
+            return from_planar(img)  # flat for the fast transfer path
 
-        self._enc = jax.jit(enc_flat)
-        self._dec = jax.jit(dec_stage, static_argnames=("b",))
+        self._enc = jax.jit(enc_stage)
+        self._dec = jax.jit(dec_stage)
 
     # -- encode ------------------------------------------------------------
 
-    def _image_views(self, row: np.ndarray):
-        """Zero-copy per-image (pred, delta, fres) views of one flat row."""
-        npred = int(np.prod(self._shapes["pred"]))
-        ndelta = int(np.prod(self._shapes["delta"]))
-        pred = row[:npred].astype(np.int32).reshape(self._shapes["pred"])
-        delta = row[npred:npred + ndelta].reshape(self._shapes["delta"])
-        fres = row[npred + ndelta:].reshape(self._shapes["fres"])
-        return pred, delta, fres
+    def _image_views(self, small_row: np.ndarray, fres: np.ndarray):
+        """Zero-copy per-image (pred, delta, fres) views."""
+        pred = small_row[:self._npred].astype(np.int32).reshape(
+            self._shapes["pred"])
+        delta = small_row[self._npred:].reshape(self._shapes["delta"])
+        return pred, delta, fres.reshape(self._shapes["fres"])
 
-    def _split_flat(self, flat: np.ndarray, b: int):
-        views = [self._image_views(r) for r in flat.reshape(b, -1)]
-        return (np.stack([v[0] for v in views]),
-                np.stack([v[1] for v in views]),
-                np.stack([v[2] for v in views]))
+    def _split_outputs(self, small: np.ndarray, fres: np.ndarray, b: int):
+        """Host (small, fres) buffers -> stacked (pred, delta, fres)."""
+        small = small.reshape(b, self._small)
+        pred = small[:, :self._npred].astype(np.int32).reshape(
+            (b,) + self._shapes["pred"])
+        delta = small[:, self._npred:].reshape(
+            (b,) + self._shapes["delta"])
+        return pred, delta, fres.reshape((b,) + self._shapes["fres"])
+
+    def _check_input(self, frames: np.ndarray):
+        if self.pixel_format == "hwc":
+            assert frames.shape[1:] == (self.h, self.w, self.c)
+            assert frames.dtype == np.uint8
+        else:
+            assert frames.shape[1:] == (self.h, self.w)
+            want = np.uint8 if self.c == 1 else np.uint32
+            assert frames.dtype == want, (frames.dtype, want)
 
     def encode_batch(self, frames: np.ndarray) -> list[bytes]:
-        """[B, H, W, C] uint8 -> list of B HIMG blobs."""
+        """Frame batch (see pixel_format) -> list of B HIMG blobs."""
         b = frames.shape[0]
-        assert frames.shape[1:] == (self.h, self.w, self.c)
+        self._check_input(frames)
         targs = self.tables.device_args()
         chunks = [frames[i:i + self.chunk] for i in range(0, b, self.chunk)]
 
-        def entropy_stage(flat_dev, nb):
-            rows = np.asarray(flat_dev).reshape(nb, -1)
+        def entropy_stage(small_dev, fres_dev, nb):
+            small = np.asarray(small_dev).reshape(nb, self._small)
+            fres = np.asarray(fres_dev).reshape(nb, -1)
             out = []
             for i in range(nb):
-                pred, delta, fres = self._image_views(rows[i])
+                pred, delta, fr = self._image_views(small[i], fres[i])
                 out.append(assemble_container(self.w, self.h, self.c,
-                                              self.tables, pred, delta, fres))
+                                              self.tables, pred, delta, fr))
             return out
 
         blobs: list[bytes] = []
         with ThreadPoolExecutor(max_workers=1) as pool:
             pending = None
             for ch in chunks:
-                flat = self._enc(jnp.asarray(ch), *targs)  # async dispatch
+                small, fres = self._enc(jnp.asarray(ch), *targs)  # async
                 if pending is not None:
                     blobs.extend(pending.result())
-                pending = pool.submit(entropy_stage, flat, ch.shape[0])
+                pending = pool.submit(entropy_stage, small, fres, ch.shape[0])
             blobs.extend(pending.result())
         return blobs
 
@@ -135,23 +186,32 @@ class BatchCodec:
             if not targs_holder:
                 targs_holder["t"] = tuple(
                     jnp.asarray(a) for a in parsed[0][1:4])
-            flat = np.concatenate([
-                np.concatenate([
-                    p[4].astype(np.uint8).reshape(-1),
-                    p[5].reshape(-1), p[6].reshape(-1)]) for p in parsed])
-            return flat, len(parsed)
+            nb = len(parsed)
+            small = np.empty((nb, self._small), np.uint8)
+            fres = np.empty((nb,) + self._shapes["fres"], np.uint8)
+            for i, p in enumerate(parsed):
+                small[i, :self._npred] = p[4].astype(np.uint8).reshape(-1)
+                small[i, self._npred:] = p[5].reshape(-1)
+                fres[i] = p[6]
+            return small, fres, nb
 
         chunks = [blobs[i:i + self.chunk]
                   for i in range(0, len(blobs), self.chunk)]
-        outs = []
         with ThreadPoolExecutor(max_workers=1) as pool:
             futures = [pool.submit(parse_stage, ch) for ch in chunks]
             devs = []
             for fut in futures:
-                flat, nb = fut.result()
-                devs.append((self._dec(jnp.asarray(flat), *targs_holder["t"],
-                                       b=nb), nb))
-            for dev, nb in devs:
-                outs.append(np.asarray(dev).reshape(
-                    nb, self.rows * 8, self.cols * 8, self.c))
-        return np.concatenate(outs)[:, :self.h, :self.w, :]
+                small, fres, nb = fut.result()
+                devs.append(self._dec(jnp.asarray(small), jnp.asarray(fres),
+                                      *targs_holder["t"]))
+            outs = [np.asarray(dev) for dev in devs]
+        flat = outs[0] if len(outs) == 1 else np.concatenate(outs)
+        h8, w8 = self.rows * 8, self.cols * 8
+        if self.pixel_format == "hwc":
+            img = flat.reshape(-1, h8, w8, self.c)
+        elif self.c == 1:
+            img = flat.reshape(-1, h8, w8, 1)
+        else:
+            # Zero-copy byte view of the packed-u32 transfer buffer.
+            img = flat.view(np.uint8).reshape(-1, h8, w8, 4)[..., :self.c]
+        return img[:, :self.h, :self.w]

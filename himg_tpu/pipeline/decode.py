@@ -32,6 +32,20 @@ def _decode_device(fres, delta_grids, pred_ids, shift_tables, fr_pos_curve,
     delta_grids: [C, R, Cc] uint8; pred_ids: [C, MR*MC] int32.
     Returns uint8 [H8, W8, C] (callers crop to the true size).
     """
+    img = _decode_device_planar(fres, delta_grids, pred_ids, shift_tables,
+                                fr_pos_curve, lr_unmap, use_ycbcr,
+                                use_pallas)
+    return jnp.moveaxis(img, 0, -1)                      # [H8, W8, C]
+
+
+def _decode_device_planar(fres, delta_grids, pred_ids, shift_tables,
+                          fr_pos_curve, lr_unmap, use_ycbcr: bool,
+                          use_pallas: bool = False):
+    """Planar core of _decode_device: returns uint8 [C, H8, W8].
+
+    The planar form skips the u8 channel-interleave transpose (~1.3 ms of
+    relayout per 1080p frame); batch callers pack channels into u32 pixels
+    with shifts instead (pipeline.batch)."""
     c = delta_grids.shape[0]
     r, cc = delta_grids.shape[1], delta_grids.shape[2]
 
@@ -63,7 +77,7 @@ def _decode_device(fres, delta_grids, pred_ids, shift_tables, fr_pos_curve,
             jnp.clip(restored, 0, 255).astype(jnp.uint8))
     if use_ycbcr:
         img = ycbcr.ycbcr_to_rgb_planar(img)             # planar, full lanes
-    return jnp.moveaxis(img, 0, -1)                      # [H8, W8, C]
+    return img                                           # [C, H8, W8]
 
 
 def parse_container(data: bytes, max_threads: int = 0):

@@ -40,7 +40,19 @@ def _encode_device(img, shift_tables, fr_thresholds, lr_map_small, lr_unmap,
              delta_grids [C, R, Cc] uint8,
              fres [rows, C, 64, cols] uint8 interleaved planes).
     """
-    chans = jnp.moveaxis(img, -1, 0)                    # [C, H, W]
+    return _encode_device_planar(jnp.moveaxis(img, -1, 0), shift_tables,
+                                 fr_thresholds, lr_map_small, lr_unmap,
+                                 use_ycbcr, use_pallas)
+
+
+def _encode_device_planar(chans, shift_tables, fr_thresholds, lr_map_small,
+                          lr_unmap, use_ycbcr: bool, use_pallas: bool = False):
+    """Planar-input core of _encode_device: chans is [C, H, W] uint8.
+
+    Channel-planar is the TPU-native form (a u8 [H, W, C] -> [C, H, W]
+    transpose costs ~1.3 ms/frame of pure relayout); batch callers feed
+    packed-u32 frames through channel shifts instead (pipeline.batch).
+    """
     if use_ycbcr:
         # Planar conversion: full lane occupancy (C in the lane axis
         # wastes 125/128 of the VPU; tools/microbench receipts).

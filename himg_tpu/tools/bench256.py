@@ -54,15 +54,19 @@ def main():
     base = (128 + 100 * np.sin(xx / 17.0) * np.cos(yy / 23.0)).astype(np.float32)
     # One template + per-frame noise keeps host RAM for the source batch
     # at 1.6 GB (the object under test is the codec, not the generator).
-    frames = np.empty((BATCH, H, W, C), np.uint8)
+    frames = np.empty((BATCH, H, W), np.uint32)  # packed RGBX pixels
     for b in range(BATCH):
         n = rng.normal(0, 10, (H, W)).astype(np.float32)
+        px = np.zeros((H, W), np.uint32)
         for c in range(C):
-            frames[b, ..., c] = (base + n + 20 * c + 5 * b) % 256
+            px |= ((base + n + 20 * c + 5 * b) % 256).astype(
+                np.uint32) << (8 * c)
+        frames[b] = px
     pix = BATCH * H * W
-    log(f"frames: {frames.nbytes / 1e9:.2f} GB host")
+    log(f"frames: {frames.nbytes / 1e9:.2f} GB host (packed u32)")
 
-    codec = BatchCodec(H, W, C, QUALITY, use_ycbcr=True, chunk=CHUNK)
+    codec = BatchCodec(H, W, C, QUALITY, use_ycbcr=True, chunk=CHUNK,
+                       pixel_format="packed")
     targs = codec.tables.device_args()
 
     # Device stage at the 256 scale: chained chunk dispatches, one sync.
@@ -80,11 +84,11 @@ def main():
     def sync(x):
         np.asarray(x.reshape(-1)[:8])
 
-    flat = codec._enc(dev_chunks[0], *targs)
-    sync(flat)  # compile
+    small, fres = codec._enc(dev_chunks[0], *targs)
+    sync(fres)  # compile
     t0 = time.perf_counter()
     outs = [codec._enc(ch, *targs) for ch in dev_chunks]
-    sync(outs[-1])
+    sync(outs[-1][1])
     dev_enc = time.perf_counter() - t0
     enc_rate = pix / dev_enc / 1e6
     log(f"device encode {BATCH}x1080p: {dev_enc:.2f}s -> {enc_rate:.0f} MPix/s")
@@ -101,13 +105,15 @@ def main():
     # host copies ride the slow tunnel; time them separately so the entropy
     # rate reflects host work, as in bench.py.
     t0 = time.perf_counter()
-    host_rows = [np.asarray(o).reshape(CHUNK, -1) for o in outs]
+    host_rows = [(np.asarray(s).reshape(CHUNK, -1),
+                  np.asarray(f).reshape(CHUNK, -1)) for s, f in outs]
     xfer_s = time.perf_counter() - t0
     log(f"device->host copy of all planes: {xfer_s:.1f}s (tunnel)")
     ent_enc = ent_dec = 0.0
     n_blob_bytes = 0
-    for rows in host_rows:
-        views = [codec._image_views(r) for r in rows]
+    for smalls, freses in host_rows:
+        views = [codec._image_views(smalls[i], freses[i])
+                 for i in range(CHUNK)]
         t0 = time.perf_counter()
         blobs = [assemble_container(W, H, C, codec.tables, *v)
                  for v in views]

@@ -145,6 +145,36 @@ def test_batch_codec_matches_single():
         assert np.array_equal(dec[i], himg_tpu.decode(blobs[i]))
 
 
+def test_batch_codec_packed_format_matches():
+    """The packed-u32 pixel format (production path: no u8 interleave
+    transposes on device) must emit byte-identical blobs and decode to the
+    same pixels as the hwc path."""
+    from himg_tpu.pipeline.batch import BatchCodec
+    frames = np.stack([make_image(40, 56, 3, seed=40 + s) for s in range(3)])
+    packed = (frames[..., 0].astype(np.uint32)
+              | (frames[..., 1].astype(np.uint32) << 8)
+              | (frames[..., 2].astype(np.uint32) << 16))
+    codec = BatchCodec(40, 56, 3, 55, True, chunk=2, pixel_format="packed")
+    blobs = codec.encode_batch(packed)
+    for i in range(3):
+        assert blobs[i] == himg_tpu.encode(frames[i], 55, True)
+    dec = codec.decode_batch(blobs)
+    assert dec.shape == (3, 40, 56, 3)
+    for i in range(3):
+        assert np.array_equal(dec[i], himg_tpu.decode(blobs[i]))
+    # 4-channel packed roundtrip (alpha passthrough).
+    fr4 = np.stack([make_image(24, 32, 4, seed=50 + s) for s in range(2)])
+    p4 = np.zeros((2, 24, 32), np.uint32)
+    for k in range(4):
+        p4 |= fr4[..., k].astype(np.uint32) << (8 * k)
+    codec4 = BatchCodec(24, 32, 4, 50, True, chunk=2, pixel_format="packed")
+    blobs4 = codec4.encode_batch(p4)
+    dec4 = codec4.decode_batch(blobs4)
+    for i in range(2):
+        assert blobs4[i] == himg_tpu.encode(fr4[i], 50, True)
+        assert np.array_equal(dec4[i], himg_tpu.decode(blobs4[i]))
+
+
 def test_two_channel_parity(oracle_dir, tmp_path):
     """num_channels=2 (no YCbCr possible) — the reference encoder accepts
     any channel count even though its CLI only produces 1/3/4."""

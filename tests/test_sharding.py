@@ -53,3 +53,17 @@ def test_sharded_image_decode_uneven_rows(mesh8):
     blob = himg_tpu.encode(img, 50, True)
     out = sharding.decode_image_sharded(mesh8, blob)
     assert np.array_equal(out, himg_tpu.decode(blob))
+
+
+@pytest.mark.skipif("HIMG_BIG_TESTS" not in __import__("os").environ,
+                    reason="config 5 at literal 8K scale (~10 min on the "
+                           "CPU mesh); set HIMG_BIG_TESTS=1 to run")
+def test_sharded_8k_roundtrip(mesh8):
+    """Config 5 at its literal 8K scale: 7680x4320 sharded encode is
+    byte-identical to the single-device encoder and decodes losslessly
+    through the sharded decoder (540 block rows over 8 shards)."""
+    img = make_image(4320, 7680, 3, seed=8)
+    blob = sharding.encode_image_sharded(mesh8, img, 50, True)
+    assert blob == himg_tpu.encode(img, 50, True)
+    out = sharding.decode_image_sharded(mesh8, blob)
+    assert np.array_equal(out, himg_tpu.decode(blob))
