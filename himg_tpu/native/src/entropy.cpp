@@ -749,76 +749,74 @@ inline void TokenizeBlock(const uint8_t *blk, int64_t block_size,
   *extra_bits = st.extra_total;
 }
 
+constexpr uint64_t kMask56 = 0xFFFFFFFFFFFFFFull;
+
+// Pair-code table: fused2[b0 | b1 << 8] = combined code for the two
+// literal bytes (b0 first in the stream) in bits 0-55, total bits in
+// 56-63.  Entries whose combined length exceeds 56 bits store 0xFF in
+// the length byte (deep-tree fallback to singles).  One L2 load replaces
+// two table loads plus a shift-combine per literal pair.
+void BuildFused2(const uint64_t *fused, uint64_t *fused2) {
+  for (int a = 0; a < 256; ++a) {
+    uint64_t ea = fused[a];
+    int ba = static_cast<int>(ea >> 56);
+    uint64_t ca = ea & kMask56;
+    for (int b = 0; b < 256; ++b) {
+      uint64_t eb = fused[b];
+      int bb = static_cast<int>(eb >> 56);
+      int nb = ba + bb;
+      fused2[a | (b << 8)] =
+          nb <= 56 ? (ca | ((eb & kMask56) << ba) |
+                      (static_cast<uint64_t>(nb) << 56))
+                   : (0xFFull << 56);
+    }
+  }
+}
+
 // Pack one tokenized block into dst (which needs 8 bytes of slack past
 // the final byte; callers use per-thread scratch).  Literal bytes come
-// straight from the input, runs from the segment list.
-// fused[s] = code | bits << 56.
+// straight from the input two at a time through the fused2 pair table,
+// runs from the segment list.
 //
 // All writer state lives in locals: byte stores through a uint8_t*
 // alias *everything* in C++, so member-based state (the BitWriter) gets
 // spilled and reloaded around every flush -- locals stay in registers.
-// Literal codes are also combined pairwise before hitting the
-// accumulator, halving its dependency chain.  A trailing partial byte is
-// merged with the pre-existing dst content (the stale-bit parity quirk).
+// The writer flushes eagerly after every put (fill stays <= 7), which
+// admits puts of up to 56 bits.  A trailing partial byte is merged with
+// the pre-existing dst content (the stale-bit parity quirk).
 inline void PackBlock(const uint8_t *blk, const Seg *segs, int64_t n_segs,
-                      const uint64_t *fused, uint8_t *dst) {
+                      const uint64_t *fused, const uint64_t *fused2,
+                      uint8_t *dst) {
   uint8_t *p = dst;
   uint64_t acc = 0;
   int fill = 0;
-  auto put_clean = [&](uint64_t v, int bits) {
+  auto put = [&](uint64_t v, int bits) {  // v clean, bits <= 56
     acc |= v << fill;
     fill += bits;
-    if (fill >= 32) {
-      std::memcpy(p, &acc, 8);
-      p += fill >> 3;
-      acc >>= (fill & ~7);
-      fill &= 7;
-    }
-  };
-  auto put2 = [&](uint64_t v, int b, uint64_t c1, int b1, uint64_t c2,
-                  int b2) {
-    if (b <= 32) {
-      put_clean(v, b);
-    } else {  // deep-tree fallback
-      put_clean(c1, b1);
-      put_clean(c2, b2);
-    }
+    std::memcpy(p, &acc, 8);
+    p += fill >> 3;
+    acc >>= (fill & ~7);
+    fill &= 7;
   };
   const uint8_t *lp = blk;
   for (int64_t s = 0; s < n_segs; ++s) {
     const uint8_t *le = lp + segs[s].lit;
-    // Four literals per accumulator op when their codes fit 32 bits
-    // (common: codes average 3-5 bits); the two pair-combines are
-    // independent, halving the serial acc/fill chain again.
-    for (; lp + 4 <= le; lp += 4) {
-      uint64_t c1 = fused[lp[0]] & 0xFFFFFFFFFFFFFFull;
-      uint64_t c2 = fused[lp[1]] & 0xFFFFFFFFFFFFFFull;
-      uint64_t c3 = fused[lp[2]] & 0xFFFFFFFFFFFFFFull;
-      uint64_t c4 = fused[lp[3]] & 0xFFFFFFFFFFFFFFull;
-      int b1 = static_cast<int>(fused[lp[0]] >> 56);
-      int b2 = static_cast<int>(fused[lp[1]] >> 56);
-      int b3 = static_cast<int>(fused[lp[2]] >> 56);
-      int b4 = static_cast<int>(fused[lp[3]] >> 56);
-      uint64_t v12 = c1 | (c2 << b1);
-      uint64_t v34 = c3 | (c4 << b3);
-      int b12 = b1 + b2, b34 = b3 + b4;
-      if (b12 + b34 <= 32) {
-        put_clean(v12 | (v34 << b12), b12 + b34);
-      } else {
-        put2(v12, b12, c1, b1, c2, b2);
-        put2(v34, b34, c3, b3, c4, b4);
-      }
-    }
     for (; lp + 2 <= le; lp += 2) {
-      uint64_t e1 = fused[lp[0]], e2 = fused[lp[1]];
-      int b1 = static_cast<int>(e1 >> 56), b2 = static_cast<int>(e2 >> 56);
-      put2((e1 & 0xFFFFFFFFFFFFFFull) | ((e2 & 0xFFFFFFFFFFFFFFull) << b1),
-           b1 + b2, e1 & 0xFFFFFFFFFFFFFFull, b1,
-           e2 & 0xFFFFFFFFFFFFFFull, b2);
+      uint16_t v;
+      std::memcpy(&v, lp, 2);
+      uint64_t e = fused2[v];
+      int nb = static_cast<int>(e >> 56);
+      if (nb <= 56) {
+        put(e & kMask56, nb);
+      } else {  // deep-tree fallback
+        uint64_t e1 = fused[lp[0]], e2 = fused[lp[1]];
+        put(e1 & kMask56, static_cast<int>(e1 >> 56));
+        put(e2 & kMask56, static_cast<int>(e2 >> 56));
+      }
     }
     if (lp != le) {
       uint64_t e = fused[*lp++];
-      put_clean(e & 0xFFFFFFFFFFFFFFull, static_cast<int>(e >> 56));
+      put(e & kMask56, static_cast<int>(e >> 56));
     }
     uint32_t z = segs[s].zeros;
     if (z) {
@@ -827,25 +825,11 @@ inline void PackBlock(const uint8_t *blk, const Seg *segs, int64_t n_segs,
       int sym = RunSymbol(static_cast<int>(z), &extra, &ebits);
       uint64_t e = fused[sym];
       int nb = static_cast<int>(e >> 56);
-      int total = nb + ebits;
-      uint64_t v = (e & 0xFFFFFFFFFFFFFFull) |
-                   (static_cast<uint64_t>(extra) << nb);
-      if (total <= 32) {
-        put_clean(v, total);
-      } else {
-        put_clean(v & 0xFFFFFFFFu, 32);
-        put_clean(v >> 32, total - 32);
-      }
+      put((e & kMask56) | (static_cast<uint64_t>(extra) << nb), nb + ebits);
       lp += z;
     }
   }
-  // Flush pending whole bytes, then merge the partial byte with dst's
-  // pre-existing content.
-  while (fill >= 8) {
-    *p++ = static_cast<uint8_t>(acc);
-    acc >>= 8;
-    fill -= 8;
-  }
+  // Merge the trailing partial byte with dst's pre-existing content.
   if (fill > 0) {
     uint8_t mask = static_cast<uint8_t>((1u << fill) - 1);
     *p = static_cast<uint8_t>((*p & ~mask) | (acc & mask));
@@ -925,11 +909,13 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
   head.FlushPartial();
   const int64_t head_bytes = head.byte_count();
 
-  // Fused per-symbol (code | bits<<56) pack table.
+  // Fused per-symbol (code | bits<<56) pack table + the pair table.
   uint64_t fused[kNumSymbols];
   for (int s = 0; s < kNumSymbols; ++s)
     fused[s] = static_cast<uint64_t>(table.code[s]) |
                (static_cast<uint64_t>(table.bits[s]) << 56);
+  std::vector<uint64_t> fused2(65536);
+  BuildFused2(fused, fused2.data());
 
   // Exact per-block bit sizes from the per-block histograms.
   std::vector<int64_t> bit_sizes(n_blocks);
@@ -980,7 +966,7 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
         }
         if (bit_sizes[b] & 7) scratch[packed - 1] = 0;  // defined partial byte
         PackBlock(in + b * block_size, seg_arena.get() + b * seg_stride,
-                  seg_count[b], fused, scratch.data());
+                  seg_count[b], fused, fused2.data(), scratch.data());
         std::memcpy(dst, scratch.data(), static_cast<size_t>(packed));
       }
     };
@@ -1074,6 +1060,8 @@ int64_t he_pack_with_code(const uint8_t *in, int64_t in_size,
   for (int s = 0; s < kNumSymbols; ++s)
     fused[s] = static_cast<uint64_t>(codes[s]) |
                (static_cast<uint64_t>(code_bits[s]) << 56);
+  std::vector<uint64_t> fused2(65536);
+  BuildFused2(fused, fused2.data());
 
   int hw = static_cast<int>(std::thread::hardware_concurrency());
   int n_threads = std::max<int>(
@@ -1129,7 +1117,7 @@ int64_t he_pack_with_code(const uint8_t *in, int64_t in_size,
         int64_t b = next_blk.fetch_add(1, std::memory_order_relaxed);
         if (b >= n_blocks) break;
         PackBlock(in + b * block_size, seg_arena.get() + b * seg_stride,
-                  seg_count[b], fused, scratch.data());
+                  seg_count[b], fused, fused2.data(), scratch.data());
         std::memcpy(out + offsets[b], scratch.data(),
                     static_cast<size_t>(sizes_out[b]));
       }
