@@ -35,7 +35,10 @@
 #include <thread>
 #include <vector>
 
-#if defined(__SSE2__)
+#if defined(__AVX512BW__)
+#include <immintrin.h>
+#define HIMG_HAVE_AVX512BW 1
+#elif defined(__SSE2__)
 #include <emmintrin.h>
 #define HIMG_HAVE_SSE2 1
 #endif
@@ -626,6 +629,26 @@ struct TokState {
   }
 };
 
+// 8 striped histogram increments for one 8-byte word.
+inline void HistWord(uint32_t h4[4][256], uint64_t w) {
+  h4[0][static_cast<uint8_t>(w)]++;
+  h4[1][static_cast<uint8_t>(w >> 8)]++;
+  h4[2][static_cast<uint8_t>(w >> 16)]++;
+  h4[3][static_cast<uint8_t>(w >> 24)]++;
+  h4[0][static_cast<uint8_t>(w >> 32)]++;
+  h4[1][static_cast<uint8_t>(w >> 40)]++;
+  h4[2][static_cast<uint8_t>(w >> 48)]++;
+  h4[3][static_cast<uint8_t>(w >> 56)]++;
+}
+
+inline void HistChunk(uint32_t h4[4][256], const uint8_t *p, int words) {
+  for (int i = 0; i < words; ++i) {
+    uint64_t w;
+    std::memcpy(&w, p + 8 * i, 8);
+    HistWord(h4, w);
+  }
+}
+
 inline void TokenizeBlock(const uint8_t *blk, int64_t block_size,
                           Seg *segs, uint32_t *hist,
                           int64_t *n_segs, int64_t *extra_bits) {
@@ -642,7 +665,46 @@ inline void TokenizeBlock(const uint8_t *blk, int64_t block_size,
   int64_t zeros_all = 0;   // all zero bytes seen
   int64_t k = 0;
 
-#if HIMG_HAVE_SSE2
+#if HIMG_HAVE_AVX512BW
+  // 64-byte chunks, zero positions as one 64-bit compare mask.
+  const __m512i vz = _mm512_setzero_si512();
+  for (; k + 64 <= block_size; k += 64) {
+    __m512i v = _mm512_loadu_si512(
+        reinterpret_cast<const void *>(blk + k));
+    uint64_t m = _mm512_cmpeq_epi8_mask(v, vz);
+    if (m == 0) {                       // pure literal chunk
+      if (st.cur_zrun) st.CloseRun();
+      HistChunk(h4, blk + k, 8);
+      continue;
+    }
+    if (m == ~0ull) {                   // pure zero chunk: extend the run
+      if (st.cur_zrun == 0) st.run_begin = k;
+      st.cur_zrun += 64;
+      zeros_all += 64;
+      continue;
+    }
+    HistChunk(h4, blk + k, 8);
+    int pc = __builtin_popcountll(m);
+    zeros_hist += pc;
+    zeros_all += pc;
+    if (st.cur_zrun && !(m & 1)) st.CloseRun();
+    uint64_t mm = m;
+    while (mm) {
+      int s = __builtin_ctzll(mm);
+      uint64_t tail = mm >> s;
+      int r = tail == ~0ull ? 64 : __builtin_ctzll(~tail);
+      if (s == 0 && st.cur_zrun) {
+        st.cur_zrun += r;               // continuation across the border
+      } else {
+        st.run_begin = k + s;
+        st.cur_zrun = r;
+      }
+      if (s + r >= 64) break;           // run reaches the chunk end
+      st.CloseRun();                    // run ended inside the chunk
+      mm &= ~(((1ull << r) - 1) << s);
+    }
+  }
+#elif HIMG_HAVE_SSE2
   const __m128i vzero = _mm_setzero_si128();
   for (; k + 16 <= block_size; k += 16) {
     __m128i v = _mm_loadu_si128(reinterpret_cast<const __m128i *>(blk + k));
@@ -650,25 +712,7 @@ inline void TokenizeBlock(const uint8_t *blk, int64_t block_size,
         _mm_movemask_epi8(_mm_cmpeq_epi8(v, vzero)));
     if (m == 0) {                       // pure literal chunk
       if (st.cur_zrun) st.CloseRun();
-      uint64_t lo, hi;
-      std::memcpy(&lo, blk + k, 8);
-      std::memcpy(&hi, blk + k + 8, 8);
-      h4[0][static_cast<uint8_t>(lo)]++;
-      h4[1][static_cast<uint8_t>(lo >> 8)]++;
-      h4[2][static_cast<uint8_t>(lo >> 16)]++;
-      h4[3][static_cast<uint8_t>(lo >> 24)]++;
-      h4[0][static_cast<uint8_t>(lo >> 32)]++;
-      h4[1][static_cast<uint8_t>(lo >> 40)]++;
-      h4[2][static_cast<uint8_t>(lo >> 48)]++;
-      h4[3][static_cast<uint8_t>(lo >> 56)]++;
-      h4[0][static_cast<uint8_t>(hi)]++;
-      h4[1][static_cast<uint8_t>(hi >> 8)]++;
-      h4[2][static_cast<uint8_t>(hi >> 16)]++;
-      h4[3][static_cast<uint8_t>(hi >> 24)]++;
-      h4[0][static_cast<uint8_t>(hi >> 32)]++;
-      h4[1][static_cast<uint8_t>(hi >> 40)]++;
-      h4[2][static_cast<uint8_t>(hi >> 48)]++;
-      h4[3][static_cast<uint8_t>(hi >> 56)]++;
+      HistChunk(h4, blk + k, 2);
       continue;
     }
     if (m == 0xFFFF) {                  // pure zero chunk: extend the run
@@ -679,27 +723,7 @@ inline void TokenizeBlock(const uint8_t *blk, int64_t block_size,
     }
     // Mixed chunk: histogram everything (zeros corrected later), then
     // walk the zero mask's bit runs.
-    {
-      uint64_t lo, hi;
-      std::memcpy(&lo, blk + k, 8);
-      std::memcpy(&hi, blk + k + 8, 8);
-      h4[0][static_cast<uint8_t>(lo)]++;
-      h4[1][static_cast<uint8_t>(lo >> 8)]++;
-      h4[2][static_cast<uint8_t>(lo >> 16)]++;
-      h4[3][static_cast<uint8_t>(lo >> 24)]++;
-      h4[0][static_cast<uint8_t>(lo >> 32)]++;
-      h4[1][static_cast<uint8_t>(lo >> 40)]++;
-      h4[2][static_cast<uint8_t>(lo >> 48)]++;
-      h4[3][static_cast<uint8_t>(lo >> 56)]++;
-      h4[0][static_cast<uint8_t>(hi)]++;
-      h4[1][static_cast<uint8_t>(hi >> 8)]++;
-      h4[2][static_cast<uint8_t>(hi >> 16)]++;
-      h4[3][static_cast<uint8_t>(hi >> 24)]++;
-      h4[0][static_cast<uint8_t>(hi >> 32)]++;
-      h4[1][static_cast<uint8_t>(hi >> 40)]++;
-      h4[2][static_cast<uint8_t>(hi >> 48)]++;
-      h4[3][static_cast<uint8_t>(hi >> 56)]++;
-    }
+    HistChunk(h4, blk + k, 2);
     int pc = __builtin_popcount(m);
     zeros_hist += pc;
     zeros_all += pc;
