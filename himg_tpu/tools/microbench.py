@@ -295,7 +295,41 @@ def bench_stages(quick: bool) -> None:
              jnp.asarray(et.lr_mapper.unmap_lut))
     pred_i = pred.reshape(b, c, -1)
     t = _timeit(dec, fres, delta, pred_i, *dargs)
-    _emit("decode_program", mp / t, "MPix/s", "full device decode")
+    _emit("decode_program", mp / t, "MPix/s",
+          "full device decode, [H,W,C] output")
+
+    # Production (packed-u32) forms: planar cores + u32 pack/unpack edges,
+    # exactly what BatchCodec(pixel_format="packed") runs.
+    from ..pipeline.decode import _decode_device_planar
+    from ..pipeline.encode import _encode_device_planar
+
+    def enc_packed(px, *targs):
+        chans = jnp.stack(
+            [((px >> (8 * k)) & 0xFF).astype(jnp.uint8) for k in range(c)],
+            axis=1)
+        return jax.vmap(partial(
+            _encode_device_planar, use_ycbcr=True, use_pallas=use_pallas),
+            in_axes=(0, None, None, None, None))(chans, *targs)
+
+    packed = jnp.asarray(
+        frames[..., 0].astype(np.uint32)
+        | (frames[..., 1].astype(np.uint32) << 8)
+        | (frames[..., 2].astype(np.uint32) << 16))
+    t = _timeit(jax.jit(enc_packed), packed, *targs)
+    _emit("encode_program_packed", mp / t, "MPix/s",
+          "production path: packed-u32 in, planar core")
+
+    def dec_packed(fres, delta, pred, *dargs):
+        img = jax.vmap(partial(
+            _decode_device_planar, use_ycbcr=True, use_pallas=use_pallas),
+            in_axes=(0, 0, 0, None, None, None))(fres, delta, pred, *dargs)
+        out = img[:, 0].astype(jnp.uint32)
+        for k in range(1, c):
+            out = out | (img[:, k].astype(jnp.uint32) << (8 * k))
+        return out.reshape(-1)
+    t = _timeit(jax.jit(dec_packed), fres, delta, pred_i, *dargs)
+    _emit("decode_program_packed", mp / t, "MPix/s",
+          "production path: planar core, packed-u32 out")
 
     # Encode sub-stages (each jitted standalone; sums can exceed the fused
     # program because XLA fuses across stage boundaries).
