@@ -148,6 +148,42 @@ def test_native_rejects_corrupt():
             pass
 
 
+def test_native_tokenizer_edge_cases():
+    """SIMD tokenizer edges: kMaxRun splits, runs straddling the 16/64-byte
+    chunk boundaries, worst-case segment density, lone zeros at limits --
+    all byte-identical to the NumPy spec."""
+    from himg_tpu.entropy import native
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(123)
+    cases = []
+    for n_z in (16661, 16662, 16663, 16664, 33325):  # kMaxRun boundaries
+        cases.append((np.concatenate([
+            np.array([7], np.uint8), np.zeros(n_z, np.uint8),
+            np.array([9], np.uint8)]), 0))
+    for off in (62, 63, 64, 65, 127, 128):  # SIMD chunk boundaries
+        d = np.full(256, 5, np.uint8)
+        d[off:off + 2] = 0
+        cases.append((d, 0))
+        d2 = np.full(256, 5, np.uint8)
+        d2[off] = 0  # lone zero = literal symbol 0
+        cases.append((d2, 0))
+    w = np.zeros(3072, np.uint8)
+    w[::3] = 7  # worst-case segment density: (1 literal, 2 zeros) repeating
+    cases.append((w, 0))
+    cases.append((np.zeros(2048, np.uint8), 64))
+    for zf, bs in [(0.0, 64), (0.9, 333), (0.99, 0), (1.0, 4096)]:
+        n = 9990 if bs == 333 else 8192
+        cases.append((np.where(rng.random(n) < zf, 0,
+                               rng.integers(0, 256, n)).astype(np.uint8), bs))
+    for d, bs in cases:
+        eff = bs if bs else d.size
+        blob = native.compress(d, eff)
+        assert blob == bitpack.compress_py(d, eff)
+        out = native.decompress(blob, d.size, bs if 0 < bs < d.size else 0)
+        assert np.array_equal(out, d)
+
+
 def test_python_fallback_roundtrip(monkeypatch):
     """HIMG_NATIVE=0 must route through the NumPy/Python spec paths."""
     import himg_tpu.entropy.native as native_mod
