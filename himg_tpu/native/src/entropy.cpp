@@ -299,12 +299,17 @@ struct LutEntry {
 // short RLE extras folded in (run classes up to 259 decode entirely from
 // the table; class 260 needs 14 extra bits and never fits).
 //
-// uint64 layout:
+// uint64 layout (entry == 0 -> no fast entry, use the slow path):
 //   bits 0-5   total stream bits consumed (codes + inline extras)
-//   bits 6-8   item count (0 = no fast entry, use the slow path)
-//   bits 10+12k  item k (12 bits each, up to 4):
-//                bit 11 set -> zero run, low 11 bits = run length (2..278)
-//                bit 11 clear -> literal byte in the low 8 bits
+//   bit 6      entry kind
+//   kind 0 (literal-only; the dense-content common case):
+//     bits 8-10   literal count (1-4)
+//     bits 16-47  the literal bytes, in stream order -- emitted with one
+//                 unconditional 4-byte store (no per-item branch)
+//   kind 1 (contains at least one run):
+//     bits 7-9    item count (1-4)
+//     bits 10+12k item k: bit 11 set -> zero run, low 11 bits = length
+//                 (2..278); bit 11 clear -> literal byte
 constexpr int kLutBits = 13;
 constexpr int kLutSize = 1 << kLutBits;
 
@@ -337,8 +342,9 @@ struct Decoder {
 
   void BuildLutM() {
     for (uint32_t p = 0; p < kLutSize; ++p) {
-      uint64_t packed = 0;
+      uint64_t items = 0, lits = 0;
       int total = 0, n = 0;
+      bool any_run = false;
       while (n < 4) {
         int sym;
         int used = SymbolFrom(p >> total, kLutBits - total, &sym);
@@ -346,6 +352,7 @@ struct Decoder {
         uint64_t item;
         if (sym <= 255) {
           item = static_cast<uint64_t>(sym);
+          lits |= static_cast<uint64_t>(sym) << (8 * n);
         } else if (sym == 260) {
           break;  // 14 extra bits can never fit a 13-bit entry
         } else {
@@ -356,13 +363,22 @@ struct Decoder {
           uint32_t extra = (p >> (total + used)) & ((1u << eb) - 1);
           item = 0x800u | (kBase[sym - 256] + extra);
           used += eb;
+          any_run = true;
         }
-        packed |= item << (10 + 12 * n);
+        items |= item << (10 + 12 * n);
         total += used;
         ++n;
       }
-      if (n) packed |= static_cast<uint64_t>(total) |
-                       (static_cast<uint64_t>(n) << 6);
+      uint64_t packed = 0;
+      if (n) {
+        if (any_run) {
+          packed = static_cast<uint64_t>(total) | (1u << 6) |
+                   (static_cast<uint64_t>(n) << 7) | items;
+        } else {
+          packed = static_cast<uint64_t>(total) |
+                   (static_cast<uint64_t>(n) << 8) | (lits << 16);
+        }
+      }
       lutm[p] = packed;
     }
   }
@@ -478,7 +494,31 @@ bool DecodeStream(const Decoder &d, const uint8_t *in, int64_t in_size,
       acc >>= nb;
       fill -= nb;
       consumed += nb;
-      int n = static_cast<int>((fast >> 6) & 7);
+      if (!(fast & 0x40) && filled + 4 <= out_size) {
+        // Literal-only entry, the dense-content common case: one
+        // unconditional 4-byte store, no per-item branch.  Bytes past the
+        // count get overwritten by subsequent output; the +4 guard keeps
+        // the store inside this substream's slot AND excludes stale-bit
+        // phantoms (phantom literals require the real stream to end
+        // within 3 bytes of out_size, where the guard already fails).
+        uint32_t lits = static_cast<uint32_t>(fast >> 16);
+        std::memcpy(out + filled, &lits, 4);
+        filled += (fast >> 8) & 7;
+        if (consumed > size_bits && filled < out_size) return false;
+        continue;
+      }
+      if (!(fast & 0x40)) {
+        // Literal-only near the substream end: bounded per-byte path.
+        int n = static_cast<int>((fast >> 8) & 7);
+        uint32_t lits = static_cast<uint32_t>(fast >> 16);
+        for (int i = 0; i < n; ++i, lits >>= 8) {
+          out[filled++] = static_cast<uint8_t>(lits);
+          if (filled >= out_size) break;  // trailing items = stale bits
+        }
+        if (filled < out_size && consumed > size_bits) return false;
+        continue;
+      }
+      int n = static_cast<int>((fast >> 7) & 7);
       uint64_t items = fast >> 10;
       for (int i = 0; i < n; ++i, items >>= 12) {
         uint32_t it = static_cast<uint32_t>(items) & 0xFFF;
