@@ -107,28 +107,6 @@ class BitWriter {
     }
   }
 
-  // Put for values already masked to their bit count (combined code pairs
-  // from the fused table have no stray high bits).
-  inline void PutClean(uint64_t value, int bits) {
-    acc_ |= value << fill_;
-    fill_ += bits;
-    if (fill_ >= 32) {
-      std::memcpy(buf_ + pos_, &acc_, 8);
-      int bytes = fill_ >> 3;
-      pos_ += bytes;
-      acc_ >>= 8 * bytes;
-      fill_ &= 7;
-    }
-  }
-
-  // Wide variant for value/bits pairs that may exceed 32 bits (code plus
-  // inline RLE extras); flushes eagerly like the 32-bit path.
-  inline void PutWide(uint64_t value, int bits) {
-    if (bits <= 32) { Put(value, bits); return; }
-    Put(value, 32);
-    Put(value >> 32, bits - 32);
-  }
-
   // Flush pending whole bytes, then merge a trailing partial byte with
   // existing buffer content.
   void FlushPartial() {

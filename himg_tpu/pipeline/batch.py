@@ -210,7 +210,8 @@ class BatchCodec:
         if self.pixel_format == "hwc":
             img = flat.reshape(-1, h8, w8, self.c)
         elif self.c == 1:
-            img = flat.reshape(-1, h8, w8, 1)
+            # Symmetric with the packed c==1 input shape: no channel axis.
+            img = flat.reshape(-1, h8, w8)
         else:
             # Zero-copy byte view of the packed-u32 transfer buffer.
             img = flat.view(np.uint8).reshape(-1, h8, w8, 4)[..., :self.c]

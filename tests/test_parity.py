@@ -162,6 +162,16 @@ def test_batch_codec_packed_format_matches():
     assert dec.shape == (3, 40, 56, 3)
     for i in range(3):
         assert np.array_equal(dec[i], himg_tpu.decode(blobs[i]))
+    # 1-channel packed: plain u8 [B, H, W] both ways (no channel axis).
+    g = np.stack([make_image(24, 40, 1, seed=60 + s)[..., 0]
+                  for s in range(2)])
+    codec1 = BatchCodec(24, 40, 1, 50, False, chunk=2, pixel_format="packed")
+    blobs1 = codec1.encode_batch(g)
+    dec1 = codec1.decode_batch(blobs1)
+    assert dec1.shape == g.shape
+    for i in range(2):
+        assert blobs1[i] == himg_tpu.encode(g[i], 50, False)
+        assert np.array_equal(dec1[i], himg_tpu.decode(blobs1[i])[..., 0])
     # 4-channel packed roundtrip (alpha passthrough).
     fr4 = np.stack([make_image(24, 32, 4, seed=50 + s) for s in range(2)])
     p4 = np.zeros((2, 24, 32), np.uint32)
