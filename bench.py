@@ -51,15 +51,8 @@ def log(msg):
 
 
 def make_frames(batch=BATCH):
-    rng = np.random.default_rng(42)
-    yy, xx = np.mgrid[0:H, 0:W]
-    base = 128 + 100 * np.sin(xx / 17.0) * np.cos(yy / 23.0)
-    frames = np.empty((batch, H, W, C), np.uint8)
-    for b in range(batch):
-        for c in range(C):
-            frames[b, ..., c] = (base + rng.normal(0, 10, (H, W))
-                                 + 20 * c + 5 * b) % 256
-    return frames
+    from himg_tpu.utils.synth import synth_frames
+    return synth_frames(batch, H, W, C)
 
 
 def measure_reference() -> float:
@@ -104,9 +97,8 @@ def main():
     # the pure-relayout u8 interleave<->planar transposes on device
     # (~2.6 ms/frame).  Packing here is host-side input prep, untimed
     # (the hwc path is covered by the parity suites and tools).
-    packed = (frames[..., 0].astype(np.uint32)
-              | (frames[..., 1].astype(np.uint32) << 8)
-              | (frames[..., 2].astype(np.uint32) << 16))
+    from himg_tpu.utils.synth import pack_rgbx
+    packed = pack_rgbx(frames)
     pix = BATCH * H * W
     codec = BatchCodec(H, W, C, QUALITY, use_ycbcr=True,
                        pixel_format="packed")

@@ -66,9 +66,15 @@ def build_lut16(codes: np.ndarray, bits: np.ndarray) -> np.ndarray:
 def decode_device(data: bytes, out_size: int, block_size: int) -> np.ndarray:
     """Reference-parity Huffman decode with the expansion loop on device.
 
-    Mirrors entropy.bitpack.decompress for block-mode streams.  The host
-    parses the tree and the substream directory (a few hundred bytes);
-    the device expands all substreams in lockstep.
+    Output-equal to entropy.bitpack.decompress on *valid* block-mode
+    streams.  The host parses the tree and the substream directory (a few
+    hundred bytes); the device expands all substreams in lockstep.
+
+    Unlike the host decoders this experimental path does NOT validate the
+    payload: a corrupt/truncated substream parks its lane and the rest of
+    that block stays zero instead of raising (lockstep lanes have no
+    cheap error channel).  Container/tree/directory corruption still
+    raises ValueError on the host side.
     """
     parsed = parse_tree(data)
     if parsed is None:

@@ -878,6 +878,62 @@ inline void PackBlock(const uint8_t *blk, const Seg *segs, int64_t n_segs,
   }
 }
 
+// Pass 1 shared by he_compress and he_pack_with_code: tokenize every
+// block into the segment arena with per-block histograms, threaded over
+// block ranges.  Keeping one copy is what guarantees the sharded path
+// stays byte-identical to the single-host path when the tokenizer
+// changes.
+struct Tokenized {
+  int64_t seg_stride;
+  std::unique_ptr<Seg[]> seg_arena;  // uninitialized on purpose
+  std::vector<int64_t> seg_count;
+  std::vector<uint32_t> block_hist;  // n_blocks x kNumSymbols
+  std::vector<int64_t> block_extra_bits;
+  int n_threads;
+};
+
+Tokenized TokenizeAll(const uint8_t *in, int64_t block_size,
+                      int64_t n_blocks) {
+  Tokenized tk;
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  tk.n_threads = std::max(1, std::min<int>(hw, static_cast<int>(
+      std::min<int64_t>(n_blocks, 16))));
+  tk.seg_stride = MaxSegs(block_size);
+  // One flat *uninitialized* arena (a value-initialized vector would
+  // memset multiple MB for nothing).
+  tk.seg_arena.reset(new Seg[tk.seg_stride * n_blocks]);
+  tk.seg_count.resize(n_blocks);
+  tk.block_hist.assign(n_blocks * kNumSymbols, 0);
+  tk.block_extra_bits.resize(n_blocks);
+  std::atomic<int64_t> next_blk(0);
+  auto tok_worker = [&]() {
+    while (true) {
+      int64_t b = next_blk.fetch_add(1, std::memory_order_relaxed);
+      if (b >= n_blocks) break;
+      TokenizeBlock(in + b * block_size, block_size,
+                    tk.seg_arena.get() + b * tk.seg_stride,
+                    tk.block_hist.data() + b * kNumSymbols,
+                    &tk.seg_count[b], &tk.block_extra_bits[b]);
+    }
+  };
+  std::vector<std::thread> ts;
+  for (int t = 1; t < tk.n_threads; ++t) ts.emplace_back(tok_worker);
+  tok_worker();
+  for (auto &t : ts) t.join();
+  return tk;
+}
+
+// Exact per-block bit sizes from the per-block histograms (a 261-entry
+// dot product with the code lengths instead of a second token pass).
+inline int64_t BlockBits(const Tokenized &tk, int64_t b,
+                         const int8_t *code_bits) {
+  int64_t bits = tk.block_extra_bits[b];
+  const uint32_t *h = tk.block_hist.data() + b * kNumSymbols;
+  for (int s = 0; s < kNumSymbols; ++s)
+    bits += static_cast<int64_t>(h[s]) * code_bits[s];
+  return bits;
+}
+
 }  // namespace
 
 // Compress `in[0..in_size)` with per-block substreams of `block_size`
@@ -897,41 +953,15 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
   const int64_t n_blocks = in_size / block_size;
   PhaseTimer pt;
 
-  // Pass 1: tokenize + per-block histogram (threaded over block ranges).
-  // Per-block histograms let the bit sizes come from a 261-entry dot
-  // product with the code lengths instead of a second pass over tokens.
-  int hw = static_cast<int>(std::thread::hardware_concurrency());
-  int n_threads = std::max(1, std::min<int>(hw, static_cast<int>(
-      std::min<int64_t>(n_blocks, 16))));
-  // Segment storage: one flat *uninitialized* arena (a value-initialized
-  // vector would memset multiple MB for nothing).
-  const int64_t seg_stride = MaxSegs(block_size);
-  std::unique_ptr<Seg[]> seg_arena(new Seg[seg_stride * n_blocks]);
-  std::vector<int64_t> seg_count(n_blocks);
-  std::vector<uint32_t> block_hist(n_blocks * kNumSymbols, 0);
-  std::vector<int64_t> block_extra_bits(n_blocks);
-  {
-    std::atomic<int64_t> next_blk(0);
-    auto tok_worker = [&]() {
-      while (true) {
-        int64_t b = next_blk.fetch_add(1, std::memory_order_relaxed);
-        if (b >= n_blocks) break;
-        TokenizeBlock(in + b * block_size, block_size,
-                      seg_arena.get() + b * seg_stride,
-                      block_hist.data() + b * kNumSymbols, &seg_count[b],
-                      &block_extra_bits[b]);
-      }
-    };
-    std::vector<std::thread> ts;
-    for (int t = 1; t < n_threads; ++t) ts.emplace_back(tok_worker);
-    tok_worker();
-    for (auto &t : ts) t.join();
-  }
+  Tokenized tk = TokenizeAll(in, block_size, n_blocks);
+  const int64_t seg_stride = tk.seg_stride;
+  const Seg *seg_arena = tk.seg_arena.get();
+  const int n_threads = tk.n_threads;
   pt.lap("tokenize");
   int64_t hist[kNumSymbols] = {0};
   for (int64_t b = 0; b < n_blocks; ++b)
     for (int s = 0; s < kNumSymbols; ++s)
-      hist[s] += block_hist[b * kNumSymbols + s];
+      hist[s] += tk.block_hist[b * kNumSymbols + s];
 
   // Tree + header (+16 slack for the writer's 8-byte spill, later
   // overwritten by the first block's prefix/payload).
@@ -959,15 +989,9 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
   std::vector<uint64_t> fused2(65536);
   BuildFused2(fused, fused2.data());
 
-  // Exact per-block bit sizes from the per-block histograms.
   std::vector<int64_t> bit_sizes(n_blocks);
-  for (int64_t b = 0; b < n_blocks; ++b) {
-    int64_t bits = block_extra_bits[b];
-    const uint32_t *h = block_hist.data() + b * kNumSymbols;
-    for (int s = 0; s < kNumSymbols; ++s)
-      bits += static_cast<int64_t>(h[s]) * table.bits[s];
-    bit_sizes[b] = bits;
-  }
+  for (int64_t b = 0; b < n_blocks; ++b)
+    bit_sizes[b] = BlockBits(tk, b, table.bits);
   pt.lap("tree+sizes");
   std::vector<int64_t> offsets(n_blocks + 1);
   offsets[0] = head_bytes;
@@ -1007,8 +1031,8 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
           }
         }
         if (bit_sizes[b] & 7) scratch[packed - 1] = 0;  // defined partial byte
-        PackBlock(in + b * block_size, seg_arena.get() + b * seg_stride,
-                  seg_count[b], fused, fused2.data(), scratch.data());
+        PackBlock(in + b * block_size, seg_arena + b * seg_stride,
+                  tk.seg_count[b], fused, fused2.data(), scratch.data());
         std::memcpy(dst, scratch.data(), static_cast<size_t>(packed));
       }
     };
@@ -1055,29 +1079,11 @@ int32_t he_histogram(const uint8_t *in, int64_t in_size, int64_t block_size,
   if (block_size < 1) block_size = in_size;
   if (in_size % block_size != 0) return -1;
   const int64_t n_blocks = in_size / block_size;
-  int hw = static_cast<int>(std::thread::hardware_concurrency());
-  int n_threads = std::max<int>(
-      1, static_cast<int>(std::min<int64_t>(hw, std::min<int64_t>(n_blocks, 16))));
-  std::vector<std::vector<uint32_t>> thread_hist(
-      n_threads, std::vector<uint32_t>(kNumSymbols, 0));
-  std::atomic<int64_t> next_blk(0);
-  auto worker = [&](int tid) {
-    std::vector<Seg> scratch(static_cast<size_t>(MaxSegs(block_size)));
-    int64_t n_seg, ebits;
-    while (true) {
-      int64_t b = next_blk.fetch_add(1, std::memory_order_relaxed);
-      if (b >= n_blocks) break;
-      TokenizeBlock(in + b * block_size, block_size, scratch.data(),
-                    thread_hist[tid].data(), &n_seg, &ebits);
-    }
-  };
-  std::vector<std::thread> ts;
-  for (int t = 1; t < n_threads; ++t) ts.emplace_back(worker, t);
-  worker(0);
-  for (auto &t : ts) t.join();
+  Tokenized tk = TokenizeAll(in, block_size, n_blocks);
   for (int s = 0; s < kNumSymbols; ++s) {
     int64_t acc = 0;
-    for (int t = 0; t < n_threads; ++t) acc += thread_hist[t][s];
+    for (int64_t b = 0; b < n_blocks; ++b)
+      acc += tk.block_hist[b * kNumSymbols + s];
     hist_out[s] = acc;
   }
   return 0;
@@ -1105,43 +1111,18 @@ int64_t he_pack_with_code(const uint8_t *in, int64_t in_size,
   std::vector<uint64_t> fused2(65536);
   BuildFused2(fused, fused2.data());
 
-  int hw = static_cast<int>(std::thread::hardware_concurrency());
-  int n_threads = std::max<int>(
-      1, static_cast<int>(std::min<int64_t>(hw, std::min<int64_t>(n_blocks, 16))));
-
-  // Pass 1: tokenize into a flat arena with per-block histograms -> exact
-  // bit sizes -> output offsets.
-  const int64_t seg_stride = MaxSegs(block_size);
-  std::unique_ptr<Seg[]> seg_arena(new Seg[seg_stride * n_blocks]);
-  std::vector<int64_t> seg_count(n_blocks);
-  std::vector<uint32_t> block_hist(n_blocks * kNumSymbols, 0);
-  std::vector<int64_t> block_extra(n_blocks);
-  {
-    std::atomic<int64_t> next_blk(0);
-    auto worker = [&]() {
-      while (true) {
-        int64_t b = next_blk.fetch_add(1, std::memory_order_relaxed);
-        if (b >= n_blocks) break;
-        TokenizeBlock(in + b * block_size, block_size,
-                      seg_arena.get() + b * seg_stride,
-                      block_hist.data() + b * kNumSymbols, &seg_count[b],
-                      &block_extra[b]);
-      }
-    };
-    std::vector<std::thread> ts;
-    for (int t = 1; t < n_threads; ++t) ts.emplace_back(worker);
-    worker();
-    for (auto &t : ts) t.join();
-  }
+  // Pass 1 (shared with he_compress): tokenize -> exact bit sizes ->
+  // output offsets.
+  Tokenized tk = TokenizeAll(in, block_size, n_blocks);
+  const int64_t seg_stride = tk.seg_stride;
+  const Seg *seg_arena = tk.seg_arena.get();
+  const int n_threads = tk.n_threads;
   std::vector<int64_t> offsets(n_blocks + 1);
   offsets[0] = 0;
   for (int64_t b = 0; b < n_blocks; ++b) {
-    int64_t bits = block_extra[b];
-    const uint32_t *h = block_hist.data() + b * kNumSymbols;
-    for (int s = 0; s < kNumSymbols; ++s)
-      bits += static_cast<int64_t>(h[s]) * code_bits[s];
-    bits_out[b] = bits;
-    sizes_out[b] = (bits + 7) / 8;
+    bits_out[b] = BlockBits(tk, b, reinterpret_cast<const int8_t *>(
+        code_bits));
+    sizes_out[b] = (bits_out[b] + 7) / 8;
     offsets[b + 1] = offsets[b] + sizes_out[b];
   }
   if (offsets[n_blocks] > out_cap) return -1;
@@ -1158,8 +1139,8 @@ int64_t he_pack_with_code(const uint8_t *in, int64_t in_size,
       while (true) {
         int64_t b = next_blk.fetch_add(1, std::memory_order_relaxed);
         if (b >= n_blocks) break;
-        PackBlock(in + b * block_size, seg_arena.get() + b * seg_stride,
-                  seg_count[b], fused, fused2.data(), scratch.data());
+        PackBlock(in + b * block_size, seg_arena + b * seg_stride,
+                  tk.seg_count[b], fused, fused2.data(), scratch.data());
         std::memcpy(out + offsets[b], scratch.data(),
                     static_cast<size_t>(sizes_out[b]));
       }

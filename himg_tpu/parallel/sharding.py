@@ -346,7 +346,14 @@ def _assemble_fres_sharded(fres, rows_true: int, block_size: int) -> bytes:
     # Row-ordered local pieces: [rows_shard, C, 64, cols] each.  With a
     # single host every shard is addressable; on multi-host each process
     # sees only its rows, histograms are allreduced, and the concat is an
-    # all-gather to the assembling host.
+    # all-gather to the assembling host -- which this single-process
+    # implementation does not do, so fail fast rather than silently
+    # emitting a stream that is missing the other hosts' substreams.
+    if not fres.is_fully_addressable:
+        raise NotImplementedError(
+            "sharded FRES assembly requires all shards addressable from "
+            "this process; the multi-host hook (histogram allreduce + "
+            "directory all-gather) is documented above but not wired")
     shards = sorted(fres.addressable_shards,
                     key=lambda s: (s.index[1].start or 0))
     pieces = []

@@ -49,19 +49,13 @@ def main():
     from himg_tpu.pipeline.encode import assemble_container
     from himg_tpu.pipeline.decode import parse_container
 
-    rng = np.random.default_rng(42)
-    yy, xx = np.mgrid[0:H, 0:W]
-    base = (128 + 100 * np.sin(xx / 17.0) * np.cos(yy / 23.0)).astype(np.float32)
-    # One template + per-frame noise keeps host RAM for the source batch
-    # at 1.6 GB (the object under test is the codec, not the generator).
+    from himg_tpu.utils.synth import pack_rgbx, synth_frames
+    # Generate per-chunk to bound peak host RAM (the object under test is
+    # the codec, not the generator).
     frames = np.empty((BATCH, H, W), np.uint32)  # packed RGBX pixels
-    for b in range(BATCH):
-        n = rng.normal(0, 10, (H, W)).astype(np.float32)
-        px = np.zeros((H, W), np.uint32)
-        for c in range(C):
-            px |= ((base + n + 20 * c + 5 * b) % 256).astype(
-                np.uint32) << (8 * c)
-        frames[b] = px
+    for i in range(0, BATCH, CHUNK):
+        frames[i:i + CHUNK] = pack_rgbx(
+            synth_frames(CHUNK, H, W, C, seed=42 + i))
     pix = BATCH * H * W
     log(f"frames: {frames.nbytes / 1e9:.2f} GB host (packed u32)")
 
@@ -74,15 +68,15 @@ def main():
     # single 1.6 GB put).  All 16 chunk inputs + outputs are kept live on
     # device (~3.3 GB) to demonstrate the full 256-frame HBM footprint;
     # the production pipeline (BatchCodec) holds only ~2 chunks.
+    from himg_tpu.utils.profiling import device_sync as sync
     t0 = time.perf_counter()
     dev_chunks = [jax.device_put(frames[i:i + CHUNK])
                   for i in range(0, BATCH, CHUNK)]
+    for ch in dev_chunks:
+        sync(ch)  # device_put is async; keep transfers out of the timing
     put_s = time.perf_counter() - t0
     log(f"device_put of {BATCH} frames: {put_s:.1f}s "
         f"({frames.nbytes / put_s / 1e6:.0f} MB/s tunnel)")
-
-    def sync(x):
-        np.asarray(x.reshape(-1)[:8])
 
     small, fres = codec._enc(dev_chunks[0], *targs)
     sync(fres)  # compile

@@ -157,17 +157,9 @@ def bench_scan(quick: bool) -> None:
 # --------------------------------------------------------------------------
 
 def _bench_frames(quick: bool):
+    from ..utils.synth import synth_frames
     h, w, c = (272, 480, 3) if quick else (1088, 1920, 3)
-    b = 2 if quick else 16
-    rng = np.random.default_rng(42)
-    yy, xx = np.mgrid[0:h, 0:w]
-    base = 128 + 100 * np.sin(xx / 17.0) * np.cos(yy / 23.0)
-    frames = np.empty((b, h, w, c), np.uint8)
-    for k in range(b):
-        for ch in range(c):
-            frames[k, ..., ch] = (base + rng.normal(0, 10, (h, w))
-                                  + 20 * ch + 5 * k) % 256
-    return frames
+    return synth_frames(2 if quick else 16, h, w, c)
 
 
 def bench_layout(quick: bool) -> None:
@@ -342,7 +334,8 @@ def bench_stages(quick: bool) -> None:
     grids = f_sample(chans)
     f_pred = jax.jit(jax.vmap(jax.vmap(lowres.select_predictors)))
     stages["pred_argmin"] = _timeit(f_pred, grids)
-    preds = jnp.where(f_pred(grids) <= 1, 0, f_pred(grids))
+    raw_pred = f_pred(grids)
+    preds = jnp.where(raw_pred <= 1, 0, raw_pred)
     f_fb = jax.jit(jax.vmap(jax.vmap(
         lambda g, p: lowres.encode_deltas(g, p, targs[2], targs[3]))))
     stages["feedback_scan"] = _timeit(f_fb, grids, preds)

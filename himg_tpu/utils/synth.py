@@ -1,0 +1,34 @@
+"""Shared synthetic photographic-like test content for the benchmarks.
+
+One generator so every harness (bench.py, tools/bench256, tools/microbench)
+times the same content statistics; the sin/cos base approximates smooth
+photographic gradients and the per-frame noise keeps entropy realistic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def synth_frames(b: int, h: int, w: int, c: int = 3,
+                 seed: int = 42) -> np.ndarray:
+    """uint8 [B, H, W, C] synthetic frames (smooth base + noise)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (128 + 100 * np.sin(xx / 17.0) * np.cos(yy / 23.0)).astype(
+        np.float32)
+    frames = np.empty((b, h, w, c), np.uint8)
+    for k in range(b):
+        n = rng.normal(0, 10, (h, w)).astype(np.float32)
+        for ch in range(c):
+            frames[k, ..., ch] = (base + n + 20 * ch + 5 * k) % 256
+    return frames
+
+
+def pack_rgbx(frames: np.ndarray) -> np.ndarray:
+    """uint8 [B, H, W, C<=4] -> packed uint32 [B, H, W] (channel k in
+    byte k, little-endian) for BatchCodec's packed pixel format."""
+    out = np.zeros(frames.shape[:3], np.uint32)
+    for k in range(frames.shape[-1]):
+        out |= frames[..., k].astype(np.uint32) << (8 * k)
+    return out
