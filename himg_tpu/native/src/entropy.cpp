@@ -323,6 +323,8 @@ struct Decoder {
       uint64_t items = 0, lits = 0;
       int total = 0, n = 0;
       bool any_run = false;
+      // Up to 4 mixed items; literal-only entries extend to 6 below
+      // (their bytes pack into bits 16-63 exactly).
       while (n < 4) {
         int sym;
         int used = SymbolFrom(p >> total, kLutBits - total, &sym);
@@ -344,6 +346,14 @@ struct Decoder {
           any_run = true;
         }
         items |= item << (10 + 12 * n);
+        total += used;
+        ++n;
+      }
+      while (!any_run && n < 6) {  // literal-only extension
+        int sym;
+        int used = SymbolFrom(p >> total, kLutBits - total, &sym);
+        if (used < 0 || sym > 255) break;
+        lits |= static_cast<uint64_t>(sym) << (8 * n);
         total += used;
         ++n;
       }
@@ -472,15 +482,16 @@ bool DecodeStream(const Decoder &d, const uint8_t *in, int64_t in_size,
       acc >>= nb;
       fill -= nb;
       consumed += nb;
-      if (!(fast & 0x40) && filled + 4 <= out_size) {
+      if (!(fast & 0x40) && filled + 8 <= out_size) {
         // Literal-only entry, the dense-content common case: one
-        // unconditional 4-byte store, no per-item branch.  Bytes past the
-        // count get overwritten by subsequent output; the +4 guard keeps
-        // the store inside this substream's slot AND excludes stale-bit
-        // phantoms (phantom literals require the real stream to end
-        // within 3 bytes of out_size, where the guard already fails).
-        uint32_t lits = static_cast<uint32_t>(fast >> 16);
-        std::memcpy(out + filled, &lits, 4);
+        // unconditional 8-byte store (up to 6 decoded bytes), no
+        // per-item branch.  Bytes past the count get overwritten by
+        // subsequent output; the +8 guard keeps the store inside this
+        // substream's slot AND excludes stale-bit phantoms (phantom
+        // literals require the real stream to end within 5 bytes of
+        // out_size, where the guard already fails).
+        uint64_t lits = fast >> 16;
+        std::memcpy(out + filled, &lits, 8);
         filled += (fast >> 8) & 7;
         if (consumed > size_bits && filled < out_size) return false;
         continue;
@@ -488,7 +499,7 @@ bool DecodeStream(const Decoder &d, const uint8_t *in, int64_t in_size,
       if (!(fast & 0x40)) {
         // Literal-only near the substream end: bounded per-byte path.
         int n = static_cast<int>((fast >> 8) & 7);
-        uint32_t lits = static_cast<uint32_t>(fast >> 16);
+        uint64_t lits = fast >> 16;
         for (int i = 0; i < n; ++i, lits >>= 8) {
           out[filled++] = static_cast<uint8_t>(lits);
           if (filled >= out_size) break;  // trailing items = stale bits
