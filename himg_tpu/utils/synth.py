@@ -12,16 +12,22 @@ import numpy as np
 
 def synth_frames(b: int, h: int, w: int, c: int = 3,
                  seed: int = 42) -> np.ndarray:
-    """uint8 [B, H, W, C] synthetic frames (smooth base + noise)."""
+    """uint8 [B, H, W, C] synthetic frames (smooth base + noise).
+
+    Noise is drawn independently PER CHANNEL (like sensor noise): shared
+    per-frame noise cancels in the YCbCr chroma differences and makes the
+    content ~20% more compressible, which would silently inflate the
+    entropy-stage numbers relative to the round-1/2 baselines.
+    """
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:h, 0:w]
     base = (128 + 100 * np.sin(xx / 17.0) * np.cos(yy / 23.0)).astype(
         np.float32)
     frames = np.empty((b, h, w, c), np.uint8)
     for k in range(b):
-        n = rng.normal(0, 10, (h, w)).astype(np.float32)
         for ch in range(c):
-            frames[k, ..., ch] = (base + n + 20 * ch + 5 * k) % 256
+            frames[k, ..., ch] = (base + rng.normal(0, 10, (h, w))
+                                  + 20 * ch + 5 * k) % 256
     return frames
 
 
