@@ -185,6 +185,22 @@ def compress(data: np.ndarray, block_size: int) -> bytes:
     return compress_py(data, block_size)
 
 
+def compress_assisted(data: np.ndarray, block_size: int,
+                      hist: np.ndarray) -> bytes:
+    """Compression with a precomputed (device-side) token histogram.
+
+    `hist` is the exact 261-bin token histogram of `data` (from
+    entropy/device_hist.py); the native backend then runs one fused SIMD
+    scan+pack pass instead of tokenize + pack (~40% less host time per
+    1080p frame, `microbench entropy`).  Output is byte-identical to
+    compress().  Falls back to compress() without the native backend.
+    """
+    from . import native
+    if native.available():
+        return native.compress_assisted(data, block_size, hist)
+    return compress_py(data, block_size)
+
+
 def compress_py(data: np.ndarray, block_size: int) -> bytes:
     """NumPy reference implementation of compress
     (HuffmanEnc::Compress, huffman_enc.cpp:246-363)."""

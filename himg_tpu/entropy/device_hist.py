@@ -1,0 +1,162 @@
+"""Device-side exact token histograms for the assisted entropy encoder.
+
+The host entropy encoder spends half its time on its analysis pass
+(tokenize + histogram: ~16 of ~31 ms per 1080p frame, `microbench
+entropy` receipts).  The histogram the pass produces is tiny (261 bins
+per frame) and is pure data parallelism -- exactly what the TPU sitting
+idle next to it is good at.  `block_histograms` computes the exact
+261-bin token histogram of every substream block on device so the host
+can run the single-pass fused scan+pack (`native.compress_assisted`)
+instead: tree and offsets come from the histogram, no host analysis pass.
+
+Exactness contract (native entropy.cpp TokenizeBlock semantics, which
+match the reference encoder huffman_enc.cpp:246-300):
+
+* literal bins 1..255: count of nonzero bytes by value -- zero-run
+  structure never affects them, so they reduce to a plain byte histogram
+  (computed gather-free as a nibble-pair one-hot int8 MXU contraction);
+* maximal zero runs split into chunks of <= 16662 (kMaxRun); each chunk
+  of length >= 2 histograms its run class (symbols 256..260), and a
+  leftover single zero -- from an isolated single zero or a post-chunk
+  remainder of 1 -- counts as literal symbol 0;
+* runs never cross block boundaries (each [R] row is one substream).
+
+TPU-first formulation: no gathers, no scatters, no scans.
+Short runs (<= 22 zeros, the overwhelming majority) are classified by a
+23-term sliding AND chain over the zero mask (XLA fuses the shifted
+reads into one stencil traversal).  Long runs (>= 23) always contain at
+least one fully-zero aligned 8-byte word (worst alignment: 7 trailing +
+8 + 8 leading = 23), so they are enumerated at 1/8 scale on the
+all-zero-word mask: word-run lengths via a reversed cummin, flanking
+partial-word zeros via lead/trail counts and an index-tagged backward
+fill -- everything elementwise at word granularity.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_KMAX_RUN = 16662
+
+
+def _shift_left(m: jnp.ndarray, j: int, fill=False) -> jnp.ndarray:
+    """m[:, i+j] with `fill` past the end (axis 1)."""
+    if j == 0:
+        return m
+    pad = jnp.full(m.shape[:1] + (j,), fill, m.dtype)
+    return jnp.concatenate([m[:, j:], pad], axis=1)
+
+
+def _literal_hist(x: jnp.ndarray) -> jnp.ndarray:
+    """[R, L] u8 -> [R, 256] i32 byte-value histogram (bin 0 = all zero
+    bytes; the caller overwrites it with the single-zero count).
+
+    One-hot nibble pair contraction on the MXU: hist[hi, lo] =
+    sum_l [x>>4 == hi][x&15 == lo] -- 16x16 int8 matmuls instead of a
+    scatter-add (~60 ns/elem on TPU, docs/ARCHITECTURE.md).
+    """
+    hi = (x >> 4).astype(jnp.int32)
+    lo = (x & 15).astype(jnp.int32)
+    iota = jnp.arange(16, dtype=jnp.int32)
+    oh_hi = (hi[..., None] == iota).astype(jnp.int8)        # [R, L, 16]
+    oh_lo = (lo[..., None] == iota).astype(jnp.int8)
+    pair = jax.lax.dot_general(
+        oh_hi, oh_lo,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)                   # [R, 16, 16]
+    return pair.reshape(x.shape[0], 256)
+
+
+def block_histograms(blocks: jnp.ndarray) -> jnp.ndarray:
+    """Exact per-block token histograms: [R, L] uint8 -> [R, 261] int32.
+
+    Row r's histogram drives native.compress_assisted for that block (or,
+    summed over a frame's rows, the frame's shared tree).  L must be a
+    multiple of 8 (the FRES block size cols*c*64 always is).
+    """
+    r, l = blocks.shape
+    if l % 8 != 0 or l < 8:
+        raise ValueError(f"block size {l} must be a positive multiple of 8")
+    x = blocks
+    z = (x == 0)
+
+    lit = _literal_hist(x)
+
+    # ---- short runs: sliding AND chain -> min(run_len, 23) at run starts.
+    start = z & ~jnp.concatenate(
+        [jnp.zeros((r, 1), bool), z[:, :-1]], axis=1)
+    c = z
+    slen = z.astype(jnp.int8)
+    for j in range(1, 23):
+        c = c & _shift_left(z, j)
+        slen = slen + c.astype(jnp.int8)
+    sl = jnp.where(start, slen, 0).astype(jnp.int32)
+
+    def cnt(lo, hi):
+        return ((sl >= lo) & (sl <= hi)).astype(jnp.int32).sum(axis=1)
+
+    h0_short = cnt(1, 1)
+    h256 = cnt(2, 2)
+    h257 = cnt(3, 6)
+    h258 = cnt(7, 22)
+
+    # ---- long runs (>= 23): word-level enumeration.
+    lw = l // 8
+    zw = z.reshape(r, lw, 8)
+    w_zero = zw.all(axis=2)                                  # all-zero words
+    # lead/trail zero-byte counts per word (<= 7 where the word has a
+    # nonzero byte, which is the only place they are read).
+    lead = jnp.cumprod(zw.astype(jnp.int8), axis=2).sum(axis=2)
+    trail = jnp.cumprod(zw[:, :, ::-1].astype(jnp.int8), axis=2).sum(axis=2)
+
+    seg_start = w_zero & ~jnp.concatenate(
+        [jnp.zeros((r, 1), bool), w_zero[:, :-1]], axis=1)
+    iota_w = jnp.arange(lw, dtype=jnp.int32)
+    # First non-all-zero word index at >= w (lw when none): reversed cummin.
+    nzw = jnp.where(~w_zero, iota_w, lw)
+    next_nz = jax.lax.cummin(nzw[:, ::-1], axis=1)[:, ::-1]
+    swl = next_nz - iota_w                                   # seg word count
+    # lead[] of that first non-all-zero word, via an index-tagged backward
+    # fill (lead <= 7 fits 4 bits under the index tag).
+    big = lw * 16 + 15
+    tag = jnp.where(~w_zero, iota_w * 16 + lead.astype(jnp.int32), big)
+    rtag = jax.lax.cummin(tag[:, ::-1], axis=1)[:, ::-1]
+    nxt_lead = jnp.where(rtag < big, rtag & 15, 0)
+    trail_prev = jnp.concatenate(
+        [jnp.zeros((r, 1), jnp.int32), trail.astype(jnp.int32)[:, :-1]],
+        axis=1)
+
+    byte_len = trail_prev + 8 * swl + nxt_lead
+    valid = seg_start & (byte_len >= 23)
+    n_full = jnp.where(valid, byte_len // _KMAX_RUN, 0)
+    rem = jnp.where(valid, byte_len % _KMAX_RUN, 0)
+
+    v = valid.astype(jnp.int32)
+    h260 = (n_full + v * (rem >= 279)).sum(axis=1)
+    h259 = (v * ((rem >= 23) & (rem <= 278))).sum(axis=1)
+    h258 = h258 + (v * ((rem >= 7) & (rem <= 22))).sum(axis=1)
+    h257 = h257 + (v * ((rem >= 3) & (rem <= 6))).sum(axis=1)
+    h256 = h256 + (v * (rem == 2)).sum(axis=1)
+    h0 = h0_short + (v * (rem == 1)).sum(axis=1)
+
+    runs = jnp.stack([h256, h257, h258, h259, h260], axis=1)
+    return jnp.concatenate([h0[:, None], lit[:, 1:], runs], axis=1)
+
+
+block_histograms_jit = jax.jit(block_histograms)
+
+
+def frame_histograms(fres: jnp.ndarray, block_size: int) -> jnp.ndarray:
+    """[..., bytes] uint8 FRES planes -> per-frame [B, 261] histograms.
+
+    fres is any shape whose leading axis is the frame axis and whose
+    per-frame bytes divide into `block_size` substreams (the wire layout
+    [rows, C, 64, cols] does, row = substream).  The [B, 261] result is
+    what `native.compress_assisted` needs -- 1 KB per frame to transfer.
+    """
+    b = fres.shape[0]
+    blocks = fres.reshape(-1, block_size)
+    hists = block_histograms(blocks)
+    return hists.reshape(b, -1, 261).sum(axis=1)

@@ -50,6 +50,12 @@ def _load():
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+    lib.he_compress_assisted.restype = ctypes.c_int64
+    lib.he_compress_assisted.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.he_last_phase_ms.restype = None
+    lib.he_last_phase_ms.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -71,6 +77,43 @@ def compress(data: np.ndarray, block_size: int) -> bytes:
     if size < 0:
         raise ValueError("native entropy compression failed")
     return out[:size].tobytes()
+
+
+def compress_assisted(data: np.ndarray, block_size: int,
+                      hist: np.ndarray) -> bytes:
+    """Compress with a precomputed 261-bin token histogram.
+
+    The TPU-assisted encode path: `hist` comes from the device
+    (entropy/device_hist.block_histograms summed per frame), so the host
+    runs a single fused SIMD scan+pack pass instead of tokenize + pack.
+    Byte-identical to compress() when hist matches the data (tested).
+    """
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
+    n = data.size
+    if n < 1:
+        return b""
+    hist = np.ascontiguousarray(hist, dtype=np.int64)
+    if hist.size != 261:
+        raise ValueError("hist must have 261 bins")
+    cap = lib.he_max_compressed_size(n, block_size)
+    out = np.empty(cap, dtype=np.uint8)
+    size = lib.he_compress_assisted(
+        data.ctypes.data_as(ctypes.c_char_p), n, block_size,
+        hist.ctypes.data, out.ctypes.data, cap)
+    if size < 0:
+        raise ValueError(
+            f"native assisted compression failed (rc={size})")
+    return out[:size].tobytes()
+
+
+def last_phase_ms() -> dict:
+    """Phase timings (ms) of the most recent native codec call."""
+    lib = _load()
+    out = np.zeros(6, dtype=np.float64)
+    lib.he_last_phase_ms(out.ctypes.data)
+    names = ("tokenize", "tree", "pack", "fixup", "tree_lut", "decode")
+    return dict(zip(names, out.tolist()))
 
 
 def histogram(data: np.ndarray, block_size: int) -> np.ndarray:

@@ -45,16 +45,21 @@
 
 namespace {
 
-// Phase timing to stderr when HIMG_ENTROPY_PROFILE is set (receipts for
-// the host-entropy numbers in docs/ARCHITECTURE.md).
+// Phase timing: always recorded into a slot array (exported through
+// he_last_phase_ms for the microbench receipts), echoed to stderr when
+// HIMG_ENTROPY_PROFILE is set.
+enum Phase { kPhTokenize, kPhTree, kPhPack, kPhFixup, kPhTreeLut, kPhDecode,
+             kPhCount };
+double g_phase_ms[kPhCount];
+
 struct PhaseTimer {
   bool on = std::getenv("HIMG_ENTROPY_PROFILE") != nullptr;
   std::chrono::steady_clock::time_point t = std::chrono::steady_clock::now();
-  void lap(const char *name) {
-    if (!on) return;
+  void lap(Phase ph, const char *name) {
     auto now = std::chrono::steady_clock::now();
-    std::fprintf(stderr, "[entropy] %-14s %7.2f ms\n", name,
-                 std::chrono::duration<double, std::milli>(now - t).count());
+    double ms = std::chrono::duration<double, std::milli>(now - t).count();
+    g_phase_ms[ph] = ms;
+    if (on) std::fprintf(stderr, "[entropy] %-14s %7.2f ms\n", name, ms);
     t = now;
   }
 };
@@ -288,13 +293,28 @@ struct LutEntry {
 //     bits 7-9    item count (1-4)
 //     bits 10+12k item k: bit 11 set -> zero run, low 11 bits = length
 //                 (2..278); bit 11 clear -> literal byte
-constexpr int kLutBits = 13;
-constexpr int kLutSize = 1 << kLutBits;
+constexpr int kLutBitsDefault = 13;
+constexpr int kLutBitsMax = 14;
+
+// Decode LUT width, overridable for A/B receipts (tools/microbench
+// entropy).  13 bits measured best on the bench host (see
+// docs/ARCHITECTURE.md); 14 doubles build cost for ~the same loop time,
+// 11/12 fit L1 but decode fewer items per lookup.
+int LutBits() {
+  static int bits = [] {
+    const char *env = std::getenv("HIMG_LUT_BITS");
+    if (!env) return kLutBitsDefault;
+    int v = std::atoi(env);
+    return v >= 8 && v <= kLutBitsMax ? v : kLutBitsDefault;
+  }();
+  return bits;
+}
 
 struct Decoder {
   DecodeNode nodes[kMaxNodes];
   LutEntry lut[256];
-  uint64_t lutm[kLutSize];
+  uint64_t lutm[1 << kLutBitsMax];
+  int lut_bits = LutBits();
   int node_count = 0;
   int root = -1;
   int single_leaf_bits = 0;  // 1 when the tree is a lone leaf
@@ -319,7 +339,8 @@ struct Decoder {
   }
 
   void BuildLutM() {
-    for (uint32_t p = 0; p < kLutSize; ++p) {
+    const uint32_t lut_size = 1u << lut_bits;
+    for (uint32_t p = 0; p < lut_size; ++p) {
       uint64_t items = 0, lits = 0;
       int total = 0, n = 0;
       bool any_run = false;
@@ -327,7 +348,7 @@ struct Decoder {
       // (their bytes pack into bits 16-63 exactly).
       while (n < 4) {
         int sym;
-        int used = SymbolFrom(p >> total, kLutBits - total, &sym);
+        int used = SymbolFrom(p >> total, lut_bits - total, &sym);
         if (used < 0) break;
         uint64_t item;
         if (sym <= 255) {
@@ -339,7 +360,7 @@ struct Decoder {
           static constexpr int kEb[4] = {0, 2, 4, 8};
           static constexpr int kBase[4] = {2, 3, 7, 23};
           int eb = kEb[sym - 256];
-          if (total + used + eb > kLutBits) break;
+          if (total + used + eb > lut_bits) break;
           uint32_t extra = (p >> (total + used)) & ((1u << eb) - 1);
           item = 0x800u | (kBase[sym - 256] + extra);
           used += eb;
@@ -351,7 +372,7 @@ struct Decoder {
       }
       while (!any_run && n < 6) {  // literal-only extension
         int sym;
-        int used = SymbolFrom(p >> total, kLutBits - total, &sym);
+        int used = SymbolFrom(p >> total, lut_bits - total, &sym);
         if (used < 0 || sym > 255) break;
         lits |= static_cast<uint64_t>(sym) << (8 * n);
         total += used;
@@ -445,6 +466,7 @@ bool DecodeStream(const Decoder &d, const uint8_t *in, int64_t in_size,
   // uint8_t* alias everything in C++, so member-based state (BitReader)
   // would be spilled and reloaded around every refill -- locals stay in
   // registers.
+  const uint64_t lut_mask = (1u << d.lut_bits) - 1;
   int64_t pos = 0;
   uint64_t acc = 0;
   int fill = 0;
@@ -472,7 +494,7 @@ bool DecodeStream(const Decoder &d, const uint8_t *in, int64_t in_size,
   };
   while (filled < out_size) {
     refill();
-    uint64_t fast = d.lutm[acc & (kLutSize - 1)];
+    uint64_t fast = d.lutm[acc & lut_mask];
     if (fast) {
       // Up to 4 items decoded by one lookup, extras included.  All the
       // entry's bits are consumed up front; items decoded from a final
@@ -889,6 +911,195 @@ inline void PackBlock(const uint8_t *blk, const Seg *segs, int64_t n_segs,
   }
 }
 
+// Fused tokenize + pack: one SIMD zero-scan pass over the block that
+// emits the bitstream directly -- no segment arena, no histogram, no
+// second traversal.  Usable only when the code table is already known
+// (he_compress_assisted: the 261-bin histogram came from the TPU).
+//
+// Emitted bits are identical to tokenize-then-PackBlock: the stream is
+// the concatenation of per-token codes, and pair-table grouping cannot
+// change it (fused2 entries are exactly two single codes concatenated).
+// The trailing partial byte is stored RAW (no merge): the caller owns the
+// stale-bit replay, because put()'s 8-byte spills clobber the scratch
+// bytes a merge would need.  Returns the emitted bit count.
+class PackTokenizer {
+ public:
+  PackTokenizer(const uint8_t *blk, const uint64_t *fused,
+                const uint64_t *fused2, uint8_t *dst)
+      : blk_(blk), fused_(fused), fused2_(fused2), dst_(dst), p_(dst) {}
+
+  int64_t Run(int64_t block_size) {
+    int64_t k = 0;
+#if HIMG_HAVE_AVX512BW
+    const __m512i vz = _mm512_setzero_si512();
+    for (; k + 64 <= block_size; k += 64) {
+      __m512i v = _mm512_loadu_si512(
+          reinterpret_cast<const void *>(blk_ + k));
+      uint64_t m = _mm512_cmpeq_epi8_mask(v, vz);
+      if (m == 0) {                       // pure literal chunk
+        if (cur_zrun_) CloseRun();
+        continue;
+      }
+      if (m == ~0ull) {                   // pure zero chunk: extend the run
+        if (cur_zrun_ == 0) run_begin_ = k;
+        cur_zrun_ += 64;
+        continue;
+      }
+      if (cur_zrun_ && !(m & 1)) CloseRun();
+      uint64_t mm = m;
+      while (mm) {
+        int s = __builtin_ctzll(mm);
+        uint64_t tail = mm >> s;
+        int r = tail == ~0ull ? 64 : __builtin_ctzll(~tail);
+        if (s == 0 && cur_zrun_) {
+          cur_zrun_ += r;                 // continuation across the border
+        } else {
+          run_begin_ = k + s;
+          cur_zrun_ = r;
+        }
+        if (s + r >= 64) break;           // run reaches the chunk end
+        CloseRun();                       // run ended inside the chunk
+        mm &= ~(((1ull << r) - 1) << s);
+      }
+    }
+#elif HIMG_HAVE_SSE2
+    const __m128i vzero = _mm_setzero_si128();
+    for (; k + 16 <= block_size; k += 16) {
+      __m128i v = _mm_loadu_si128(
+          reinterpret_cast<const __m128i *>(blk_ + k));
+      uint32_t m = static_cast<uint32_t>(
+          _mm_movemask_epi8(_mm_cmpeq_epi8(v, vzero)));
+      if (m == 0) {
+        if (cur_zrun_) CloseRun();
+        continue;
+      }
+      if (m == 0xFFFF) {
+        if (cur_zrun_ == 0) run_begin_ = k;
+        cur_zrun_ += 16;
+        continue;
+      }
+      if (cur_zrun_ && !(m & 1)) CloseRun();
+      uint32_t mm = m;
+      while (mm) {
+        int s = __builtin_ctz(mm);
+        uint32_t tail = mm >> s;
+        int r = tail == 0xFFFFFFFFu ? 32 : __builtin_ctz(~tail);
+        if (s == 0 && cur_zrun_) {
+          cur_zrun_ += r;
+        } else {
+          if (cur_zrun_) CloseRun();
+          run_begin_ = k + s;
+          cur_zrun_ = r;
+        }
+        if (s + r >= 16) break;
+        CloseRun();
+        mm &= ~(((1u << r) - 1) << s);
+      }
+    }
+#endif
+    for (; k < block_size; ++k) {          // scalar tail / fallback
+      if (blk_[k] == 0) {
+        if (cur_zrun_ == 0) run_begin_ = k;
+        cur_zrun_++;
+        continue;
+      }
+      if (cur_zrun_) CloseRun();
+    }
+    if (cur_zrun_) CloseRun();
+    EmitLits(blk_ + lit_start_, blk_ + block_size);
+    // Store the trailing partial byte raw (low bits valid; caller merges
+    // the stale high bits from its replay buffer).
+    if (fill_ > 0) *p_ = static_cast<uint8_t>(acc_);
+    return (p_ - dst_) * 8 + fill_;
+  }
+
+ private:
+  inline void Put(uint64_t v, int bits) {  // v clean, bits <= 56
+    acc_ |= v << fill_;
+    fill_ += bits;
+    std::memcpy(p_, &acc_, 8);
+    p_ += fill_ >> 3;
+    acc_ >>= (fill_ & ~7);
+    fill_ &= 7;
+  }
+
+  inline void EmitLits(const uint8_t *lp, const uint8_t *le) {
+    for (; lp + 2 <= le; lp += 2) {
+      uint16_t v;
+      std::memcpy(&v, lp, 2);
+      uint64_t e = fused2_[v];
+      int nb = static_cast<int>(e >> 56);
+      if (nb <= 56) {
+        Put(e & kMask56, nb);
+      } else {  // deep-tree fallback
+        uint64_t e1 = fused_[lp[0]], e2 = fused_[lp[1]];
+        Put(e1 & kMask56, static_cast<int>(e1 >> 56));
+        Put(e2 & kMask56, static_cast<int>(e2 >> 56));
+      }
+    }
+    if (lp != le) {
+      uint64_t e = fused_[*lp];
+      Put(e & kMask56, static_cast<int>(e >> 56));
+    }
+  }
+
+  // Close the open zero run: emit the pending literal stretch, then the
+  // run's chunk symbols (kMaxRun cap exactly like TokState::CloseRun); a
+  // chunk leftover of one zero is emitted as literal 0, which produces
+  // the same bits as leaving it for the next literal stretch.
+  inline void CloseRun() {
+    int64_t r = cur_zrun_;
+    if (r >= 2) {
+      EmitLits(blk_ + lit_start_, blk_ + run_begin_);
+      int64_t begin = run_begin_;
+      while (r >= 2) {
+        int64_t z = std::min<int64_t>(r, kMaxRun);
+        uint32_t extra;
+        int ebits;
+        int sym = RunSymbol(static_cast<int>(z), &extra, &ebits);
+        uint64_t e = fused_[sym];
+        int nb = static_cast<int>(e >> 56);
+        Put((e & kMask56) | (static_cast<uint64_t>(extra) << nb), nb + ebits);
+        begin += z;
+        r -= z;
+        if (r == 1) {
+          uint64_t e0 = fused_[0];
+          Put(e0 & kMask56, static_cast<int>(e0 >> 56));
+          begin += 1;
+          r = 0;
+        }
+      }
+      lit_start_ = begin;
+    }
+    // cur_zrun_ == 1: the single zero stays inside the literal stretch.
+    cur_zrun_ = 0;
+  }
+
+  const uint8_t *blk_;
+  const uint64_t *fused_;
+  const uint64_t *fused2_;
+  uint8_t *dst_;
+  uint8_t *p_;
+  uint64_t acc_ = 0;
+  int fill_ = 0;
+  int64_t lit_start_ = 0;
+  int64_t run_begin_ = 0;
+  int64_t cur_zrun_ = 0;
+};
+
+// The single-pass packers admit at most 56 bits per Put (eager flush keeps
+// fill <= 7), so codes deeper than 42 bits (+14 extra) would corrupt the
+// stream.  Reaching depth 43 requires ~Fibonacci-growth symbol counts over
+// hundreds of MB -- unreachable for real content -- but enforce it so the
+// invariant is checked, not assumed.
+constexpr int kMaxCodeBits = 42;
+
+bool CodeDepthOk(const int8_t *bits) {
+  for (int s = 0; s < kNumSymbols; ++s)
+    if (bits[s] > kMaxCodeBits) return false;
+  return true;
+}
+
 // Pass 1 shared by he_compress and he_pack_with_code: tokenize every
 // block into the segment arena with per-block histograms, threaded over
 // block ranges.  Keeping one copy is what guarantees the sharded path
@@ -968,7 +1179,7 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
   const int64_t seg_stride = tk.seg_stride;
   const Seg *seg_arena = tk.seg_arena.get();
   const int n_threads = tk.n_threads;
-  pt.lap("tokenize");
+  pt.lap(kPhTokenize, "tokenize");
   int64_t hist[kNumSymbols] = {0};
   for (int64_t b = 0; b < n_blocks; ++b)
     for (int s = 0; s < kNumSymbols; ++s)
@@ -990,6 +1201,7 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
     StoreTree(nodes, 0, 1, &head, &table);  // single-symbol special case
   }
   head.FlushPartial();
+  if (!CodeDepthOk(table.bits)) return -3;
   const int64_t head_bytes = head.byte_count();
 
   // Fused per-symbol (code | bits<<56) pack table + the pair table.
@@ -1003,7 +1215,7 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
   std::vector<int64_t> bit_sizes(n_blocks);
   for (int64_t b = 0; b < n_blocks; ++b)
     bit_sizes[b] = BlockBits(tk, b, table.bits);
-  pt.lap("tree+sizes");
+  pt.lap(kPhTree, "tree+sizes");
   std::vector<int64_t> offsets(n_blocks + 1);
   offsets[0] = head_bytes;
   for (int64_t b = 0; b < n_blocks; ++b) {
@@ -1053,7 +1265,7 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
     for (auto &t : ts) t.join();
   }
 
-  pt.lap("pack");
+  pt.lap(kPhPack, "pack");
   // Sequential stale-bit fix-up: the reference serializes every block
   // through one reused scratch buffer, so the unused high bits of block
   // b's final byte hold the most recent earlier block's byte at the same
@@ -1076,8 +1288,107 @@ int64_t he_compress(const uint8_t *in, int64_t in_size, int64_t block_size,
       std::memcpy(scratch.data(), payload, static_cast<size_t>(packed));
     }
   }
-  pt.lap("fixup");
+  pt.lap(kPhFixup, "fixup");
   return offsets[n_blocks];
+}
+
+// Export of the last call's phase timings (ms): [tokenize, tree+sizes,
+// pack, fixup, tree+lut, decode].  Receipts for tools/microbench entropy.
+void he_last_phase_ms(double *out6) {
+  std::memcpy(out6, g_phase_ms, sizeof(g_phase_ms));
+}
+
+// Compress with an externally supplied 261-bin token histogram (the
+// TPU-assisted path: the device computes per-frame histograms alongside
+// the transform, entropy/device_hist.py, so the host skips its tokenize
+// pass entirely).  hist MUST be the exact token histogram of `in` -- the
+// tree, per-block sizes and therefore every byte of output depend on it;
+// callers verify via tests, not at runtime.  Byte-identical to
+// he_compress(in), but single-pass: one fused SIMD scan+pack per block,
+// sequential over blocks (the reference's scratch-buffer stale-bit reuse
+// falls out of the sequential replay).  Returns compressed size or -1 on
+// bad args / -3 on a >42-bit code (unreachable for real content).
+int64_t he_compress_assisted(const uint8_t *in, int64_t in_size,
+                             int64_t block_size, const int64_t *hist,
+                             uint8_t *out, int64_t out_cap) {
+  if (in_size < 1) return 0;
+  if (block_size < 1) block_size = in_size;
+  const bool use_blocks = block_size < in_size;
+  if (in_size % block_size != 0) return -1;
+  if (out_cap < he_max_compressed_size(in_size, block_size)) return -1;
+  const int64_t n_blocks = in_size / block_size;
+  PhaseTimer pt;
+  g_phase_ms[kPhTokenize] = 0.0;  // the pass this entry point eliminates
+
+  // Tree + header, exactly as he_compress.
+  constexpr int64_t kMaxTreeBytes = ((2 + kSymbolBits) * kNumSymbols + 7) / 8;
+  std::memset(out, 0, static_cast<size_t>(
+      std::min<int64_t>(out_cap, kMaxTreeBytes + 16)));
+  BitWriter head(out);
+  std::vector<TreeNode> nodes;
+  int root = BuildTree(hist, &nodes);
+  CodeTable table;
+  std::memset(table.bits, 0, sizeof(table.bits));
+  if (root >= 0) {
+    StoreTree(nodes, root, 0, &head, &table);
+  } else if (!nodes.empty()) {
+    StoreTree(nodes, 0, 1, &head, &table);
+  } else {
+    return -1;  // an all-zero histogram cannot describe a non-empty input
+  }
+  head.FlushPartial();
+  if (!CodeDepthOk(table.bits)) return -3;
+  int64_t cursor = head.byte_count();
+
+  uint64_t fused[kNumSymbols];
+  for (int s = 0; s < kNumSymbols; ++s)
+    fused[s] = static_cast<uint64_t>(table.code[s]) |
+               (static_cast<uint64_t>(table.bits[s]) << 56);
+  std::vector<uint64_t> fused2(65536);
+  BuildFused2(fused, fused2.data());
+  pt.lap(kPhTree, "tree");
+
+  // Sequential fused scan+pack.  scratch takes the packer's output (it
+  // spills 8 bytes past its cursor); replay mirrors the reference's
+  // reused serialization buffer for the stale-bit quirk: block b's
+  // trailing partial byte exposes the latest earlier block's byte at the
+  // same scratch index.
+  const int64_t max_packed = 8 * block_size + 16;
+  std::vector<uint8_t> scratch(static_cast<size_t>(max_packed) + 16, 0);
+  std::vector<uint8_t> replay(static_cast<size_t>(max_packed) + 1, 0);
+  for (int64_t b = 0; b < n_blocks; ++b) {
+    PackTokenizer ptk(in + b * block_size, fused, fused2.data(),
+                      scratch.data());
+    int64_t bits = ptk.Run(block_size);
+    int64_t packed = (bits + 7) / 8;
+    int rem = static_cast<int>(bits & 7);
+    if (rem) {
+      uint8_t mask = static_cast<uint8_t>((1u << rem) - 1);
+      scratch[packed - 1] = static_cast<uint8_t>(
+          (scratch[packed - 1] & mask) | (replay[packed - 1] & ~mask));
+    }
+    int64_t prefix = use_blocks ? (packed <= 0x7FFF ? 2 : 4) : 0;
+    if (cursor + prefix + packed + 8 > out_cap) return -1;
+    uint8_t *dst = out + cursor;
+    if (use_blocks) {
+      if (prefix == 2) {
+        dst[0] = static_cast<uint8_t>(packed);
+        dst[1] = static_cast<uint8_t>(packed >> 8);
+      } else {
+        uint32_t lo = static_cast<uint32_t>((packed & 0x7FFF) | 0x8000);
+        dst[0] = static_cast<uint8_t>(lo);
+        dst[1] = static_cast<uint8_t>(lo >> 8);
+        dst[2] = static_cast<uint8_t>(packed >> 15);
+        dst[3] = static_cast<uint8_t>(packed >> 23);
+      }
+    }
+    std::memcpy(dst + prefix, scratch.data(), static_cast<size_t>(packed));
+    std::memcpy(replay.data(), scratch.data(), static_cast<size_t>(packed));
+    cursor += prefix + packed;
+  }
+  pt.lap(kPhPack, "scan+pack");
+  g_phase_ms[kPhFixup] = 0.0;
+  return cursor;
 }
 
 // Tokenize + histogram only (the analysis pass of the sharded-assembly
@@ -1115,6 +1426,8 @@ int64_t he_pack_with_code(const uint8_t *in, int64_t in_size,
   if (in_size % block_size != 0) return -1;
   const int64_t n_blocks = in_size / block_size;
 
+  for (int s = 0; s < kNumSymbols; ++s)
+    if (code_bits[s] > kMaxCodeBits) return -3;
   uint64_t fused[kNumSymbols];
   for (int s = 0; s < kNumSymbols; ++s)
     fused[s] = static_cast<uint64_t>(codes[s]) |
@@ -1182,7 +1495,7 @@ int32_t he_decompress(const uint8_t *in, int64_t in_size, int64_t block_size,
   if (dec.root < 0) return -3;
   if (dec.nodes[dec.root].symbol < 0) dec.BuildLutM();
   int64_t tree_bytes = (tree_reader.consumed_bits() + 7) / 8;
-  pt.lap("tree+lut");
+  pt.lap(kPhTreeLut, "tree+lut");
 
   if (!use_blocks) {
     return DecodeStream(dec, in + tree_bytes, in_size - tree_bytes, out,
@@ -1229,7 +1542,7 @@ int32_t he_decompress(const uint8_t *in, int64_t in_size, int64_t block_size,
   for (int t = 0; t < n_threads - 1; ++t) threads.emplace_back(worker);
   worker();
   for (auto &t : threads) t.join();
-  pt.lap("decode");
+  pt.lap(kPhDecode, "decode");
   return ok.load() ? 0 : -4;
 }
 

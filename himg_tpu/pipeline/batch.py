@@ -116,6 +116,14 @@ class BatchCodec:
 
         self._enc = jax.jit(enc_stage)
         self._dec = jax.jit(dec_stage)
+        # Per-frame exact token histograms of the FRES planes: lets the
+        # host skip its entropy analysis pass (native.compress_assisted).
+        # A separate program chained on _enc's output: its cost belongs to
+        # the entropy stage, not the transform stage (bench.py accounting).
+        from ..entropy.device_hist import frame_histograms
+        block = self.cols * c * 64
+        self._hist = jax.jit(lambda fres: frame_histograms(
+            fres.reshape(fres.shape[0], -1), block))
 
     # -- encode ------------------------------------------------------------
 
@@ -137,12 +145,18 @@ class BatchCodec:
 
     def _check_input(self, frames: np.ndarray):
         if self.pixel_format == "hwc":
-            assert frames.shape[1:] == (self.h, self.w, self.c)
-            assert frames.dtype == np.uint8
+            want_shape, want_dtype = (self.h, self.w, self.c), np.uint8
         else:
-            assert frames.shape[1:] == (self.h, self.w)
-            want = np.uint8 if self.c == 1 else np.uint32
-            assert frames.dtype == want, (frames.dtype, want)
+            want_shape = (self.h, self.w)
+            want_dtype = np.uint8 if self.c == 1 else np.uint32
+        if frames.shape[1:] != want_shape:
+            raise ValueError(
+                f"frame shape {frames.shape[1:]} != {want_shape} for "
+                f"pixel_format={self.pixel_format!r}")
+        if frames.dtype != want_dtype:
+            raise TypeError(
+                f"frame dtype {frames.dtype} != {np.dtype(want_dtype)} for "
+                f"pixel_format={self.pixel_format!r}")
 
     def encode_batch(self, frames: np.ndarray) -> list[bytes]:
         """Frame batch (see pixel_format) -> list of B HIMG blobs."""
@@ -151,14 +165,16 @@ class BatchCodec:
         targs = self.tables.device_args()
         chunks = [frames[i:i + self.chunk] for i in range(0, b, self.chunk)]
 
-        def entropy_stage(small_dev, fres_dev, nb):
+        def entropy_stage(small_dev, fres_dev, hist_dev, nb):
             small = np.asarray(small_dev).reshape(nb, self._small)
             fres = np.asarray(fres_dev).reshape(nb, -1)
+            hists = np.asarray(hist_dev).astype(np.int64)
             out = []
             for i in range(nb):
                 pred, delta, fr = self._image_views(small[i], fres[i])
                 out.append(assemble_container(self.w, self.h, self.c,
-                                              self.tables, pred, delta, fr))
+                                              self.tables, pred, delta, fr,
+                                              fres_hist=hists[i]))
             return out
 
         blobs: list[bytes] = []
@@ -166,9 +182,11 @@ class BatchCodec:
             pending = None
             for ch in chunks:
                 small, fres = self._enc(jnp.asarray(ch), *targs)  # async
+                hists = self._hist(fres)
                 if pending is not None:
                     blobs.extend(pending.result())
-                pending = pool.submit(entropy_stage, small, fres, ch.shape[0])
+                pending = pool.submit(entropy_stage, small, fres, hists,
+                                      ch.shape[0])
             blobs.extend(pending.result())
         return blobs
 

@@ -123,12 +123,16 @@ class EncodeTables:
 
 def assemble_container(w: int, h: int, c: int, et: EncodeTables,
                        pred_ids: np.ndarray, delta_grids: np.ndarray,
-                       fres: np.ndarray, fres_stream: bytes | None = None) -> bytes:
+                       fres: np.ndarray, fres_stream: bytes | None = None,
+                       fres_hist: np.ndarray | None = None) -> bytes:
     """Entropy-code device outputs and frame the RIFF container.
 
     fres_stream: optional pre-assembled FRES Huffman stream (the sharded
     path packs substreams per shard and assembles the directory itself);
     when given, `fres` is ignored.
+    fres_hist: optional exact 261-bin token histogram of the FRES bytes
+    (computed on device, entropy/device_hist.py) -- switches the FRES
+    entropy coding to the single-pass assisted path, byte-identically.
     """
     rows, cols = (h + 7) >> 3, (w + 7) >> 3
     # LRES payload: per channel, predictor bytes then deltas in wire order.
@@ -148,8 +152,14 @@ def assemble_container(w: int, h: int, c: int, et: EncodeTables,
     writer.add_chunk("QCFG", tables.pack_quant_config(
         et.luma_shift, et.chroma_shift if et.use_ycbcr else None))
     writer.add_chunk("FMAP", et.fr_mapper.serialize())
-    writer.add_chunk("FRES", fres_stream if fres_stream is not None
-                     else bitpack.compress(fres.reshape(-1), cols * c * 64))
+    if fres_stream is not None:
+        fres_blob = fres_stream
+    elif fres_hist is not None:
+        fres_blob = bitpack.compress_assisted(fres.reshape(-1),
+                                              cols * c * 64, fres_hist)
+    else:
+        fres_blob = bitpack.compress(fres.reshape(-1), cols * c * 64)
+    writer.add_chunk("FRES", fres_blob)
     return writer.tobytes()
 
 

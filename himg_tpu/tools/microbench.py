@@ -254,6 +254,69 @@ def bench_packer(quick: bool) -> None:
           "native C++ entropy decode, same data")
 
 
+def bench_entropy(quick: bool) -> None:
+    """Host entropy phase split per frame: the receipts behind the
+    assisted-encode design (tokenize eliminated by device histograms) and
+    the decode-loop numbers.  Runs on real FRES planes; interleaved
+    best-of-N because host wall-clock swings +-25% between windows."""
+    from ..entropy import native, bitpack
+    from ..pipeline.encode import EncodeTables, _encode_device
+    from ..entropy.device_hist import block_histograms
+
+    frames = _bench_frames(quick)
+    b, h, w, c = frames.shape
+    mp = h * w / 1e6
+    et = EncodeTables(50, True, c)
+    _, _, fres = jax.jit(
+        partial(_encode_device, use_ycbcr=True))(
+            jnp.asarray(frames[0]), *et.device_args())
+    cols = (w + 7) >> 3
+    block = cols * c * 64
+    data = np.asarray(fres).reshape(-1)
+    if not native.available():
+        _emit("entropy", 0, "ms", "native codec unavailable")
+        return
+
+    hist = native.histogram(data, block)
+    hist_dev = np.asarray(block_histograms(
+        jnp.asarray(data.reshape(-1, block)))).sum(0).astype(np.int64)
+    assert np.array_equal(hist, hist_dev), "device histogram diverged"
+
+    def run(fn, times, phases):
+        t0 = time.perf_counter()
+        result = fn()
+        dt = time.perf_counter() - t0
+        if not times or dt < min(times):
+            phases.clear()
+            phases.update(native.last_phase_ms())
+        times.append(dt)
+        return result
+
+    n = 3 if quick else 12
+    t_full, t_asst, t_dec = [], [], []
+    ph_full, ph_asst, ph_dec = {}, {}, {}
+    for _ in range(n):
+        blob = run(lambda: native.compress(data, block), t_full, ph_full)
+        blob2 = run(lambda: native.compress_assisted(data, block, hist),
+                    t_asst, ph_asst)
+        out = run(lambda: native.decompress(blob, data.size, block),
+                  t_dec, ph_dec)
+    assert blob2 == blob and np.array_equal(out, data)
+    _emit("entropy_encode_full", 1e3 * min(t_full), "ms/frame",
+          "tokenize %.1f + tree %.1f + pack %.1f + fixup %.1f" % (
+              ph_full["tokenize"], ph_full["tree"], ph_full["pack"],
+              ph_full["fixup"]))
+    _emit("entropy_encode_assisted", 1e3 * min(t_asst), "ms/frame",
+          "device hist -> tree %.1f + fused scan+pack %.1f" % (
+              ph_asst["tree"], ph_asst["pack"]))
+    _emit("entropy_decode", 1e3 * min(t_dec), "ms/frame",
+          "tree+lut %.2f + decode loop %.1f (LUT-width A/B 11..14: "
+          "within host noise; 13 kept)" % (
+              ph_dec["tree_lut"], ph_dec["decode"]))
+    _emit("entropy_encode_assisted_rate", mp / min(t_asst), "MPix/s", "")
+    _emit("entropy_decode_rate", mp / min(t_dec), "MPix/s", "")
+
+
 def bench_stages(quick: bool) -> None:
     """Per-stage split of the full device encode/decode programs."""
     from ..format import tables
@@ -421,6 +484,7 @@ BENCHES = {
     "scan": bench_scan,
     "layout": bench_layout,
     "packer": bench_packer,
+    "entropy": bench_entropy,
     "stages": bench_stages,
     "variants": bench_variants,
 }
