@@ -311,11 +311,23 @@ def encode_image_sharded(mesh: Mesh, image, quality: int = 50,
     body = partial(_encode_shard_body, h=h, use_ycbcr=use_ycbcr,
                    rows_true=rows_true)
     enc = _finish_sharded_encode(mesh, body)
-    fres, pred_ids, delta_grids = enc(
-        jnp.asarray(padded[None]), jnp.asarray(et.shift_tables),
-        jnp.asarray(et.fr_mapper.pack_thresholds),
-        jnp.asarray(lr.map_lut[32768 - 511:32768 + 512]),
-        jnp.asarray(lr.unmap_lut))
+    args = (padded[None], np.asarray(et.shift_tables),
+            np.asarray(et.fr_mapper.pack_thresholds),
+            np.asarray(lr.map_lut[32768 - 511:32768 + 512]),
+            np.asarray(lr.unmap_lut))
+    if jax.process_count() > 1:
+        # Every process holds the full input (images are small relative to
+        # the mesh); materialize global arrays with the mesh shardings so
+        # the jitted shard_map sees one global batch.
+        from jax.sharding import NamedSharding
+        specs = (P("batch", "rows", None, None), P(), P(), P(), P())
+        args = tuple(
+            jax.make_array_from_callback(
+                a.shape, NamedSharding(mesh, sp), lambda idx, a=a: a[idx])
+            for a, sp in zip(args, specs))
+    else:
+        args = tuple(jnp.asarray(a) for a in args)
+    fres, pred_ids, delta_grids = enc(*args)
     cols = (w + 7) >> 3
     fres_stream = _assemble_fres_sharded(fres, rows_true, cols * c * 64)
     return assemble_container(w, h, c, et, np.asarray(pred_ids)[0],
@@ -345,40 +357,91 @@ def _assemble_fres_sharded(fres, rows_true: int, block_size: int) -> bytes:
 
     # Row-ordered local pieces: [rows_shard, C, 64, cols] each.  With a
     # single host every shard is addressable; on multi-host each process
-    # sees only its rows, histograms are allreduced, and the concat is an
-    # all-gather to the assembling host -- which this single-process
-    # implementation does not do, so fail fast rather than silently
-    # emitting a stream that is missing the other hosts' substreams.
-    if not fres.is_fully_addressable:
-        raise NotImplementedError(
-            "sharded FRES assembly requires all shards addressable from "
-            "this process; the multi-host hook (histogram allreduce + "
-            "directory all-gather) is documented above but not wired")
-    shards = sorted(fres.addressable_shards,
-                    key=lambda s: (s.index[1].start or 0))
-    pieces = []
-    row0 = 0
-    for s in shards:
+    # sees only its row shards -- the 261-bin histogram is summed across
+    # processes (the psum of SURVEY.md section 5, 261 ints), every process
+    # builds the identical shared tree, packs its local rows against it,
+    # and the length-prefixed parts are all-gathered in global row order
+    # for the directory concatenation (the TPU-side equivalent of the
+    # format's substream independence, huffman_enc.cpp:342-358).
+    multihost = not fres.is_fully_addressable
+    seen = set()
+    shards = []
+    for s in fres.addressable_shards:
+        r0 = s.index[1].start or 0
+        if r0 in seen:          # replicated copies on a >1 "batch" axis
+            continue
+        seen.add(r0)
+        shards.append((r0, s))
+    shards.sort(key=lambda t: t[0])
+    pieces = []                 # (global_row0, flat bytes) in row order
+    for r0, s in shards:
         arr = np.asarray(s.data)[0]           # [rows_shard, C, 64, cols]
-        keep = min(arr.shape[0], max(rows_true - row0, 0))
-        row0 += arr.shape[0]
+        keep = min(arr.shape[0], max(rows_true - r0, 0))
         if keep:
-            pieces.append(np.ascontiguousarray(arr[:keep]).reshape(-1))
+            pieces.append((r0, np.ascontiguousarray(arr[:keep]).reshape(-1)))
     use_native = native.available()
     hist = np.zeros(261, dtype=np.int64)
-    for p in pieces:
+    for _, p in pieces:
         hist += (native.histogram(p, block_size) if use_native
                  else bitpack.histogram_py(p, block_size))
+    total = rows_true * block_size
+    if multihost:
+        from jax.experimental import multihost_utils as _mh
+        hist = np.asarray(_mh.process_allgather(hist)).sum(axis=0)
     code = build_code(hist)
     if use_native:
-        parts = [native.pack_with_code(p, block_size, code.codes, code.bits)
-                 for p in pieces]
+        parts = [(r0, native.pack_with_code(p, block_size, code.codes,
+                                            code.bits))
+                 for r0, p in pieces]
     else:
-        parts = [bitpack.pack_with_code_py(p, block_size, code)
-                 for p in pieces]
-    total = sum(len(p) for p in pieces)
+        parts = [(r0, bitpack.pack_with_code_py(p, block_size, code))
+                 for r0, p in pieces]
+    if multihost:
+        parts = _allgather_parts(parts)
+    parts = [part for _, part in sorted(parts, key=lambda t: t[0])]
     return bitpack.assemble_parts(code, parts,
                                   use_blocks=block_size < total)
+
+
+def _allgather_parts(local_parts):
+    """All-gather per-shard packed parts across processes (row-tagged).
+
+    Each part is (row0, (payload u8[total], sizes i64[n], bits i64[n])).
+    Every process receives the full list; fixed-shape exchange via two
+    process_allgather rounds (sizes first, then padded payload bytes).
+    """
+    from jax.experimental import multihost_utils as _mh
+
+    blobs = []
+    for r0, (payload, sizes, bits) in local_parts:
+        n = len(sizes)
+        head = np.asarray([r0, n, payload.size], dtype=np.int64)
+        blobs.append(np.concatenate([
+            head.view(np.uint8),
+            np.ascontiguousarray(sizes, dtype=np.int64).view(np.uint8),
+            np.ascontiguousarray(bits, dtype=np.int64).view(np.uint8),
+            np.ascontiguousarray(payload, dtype=np.uint8)]))
+    local = (np.concatenate(blobs) if blobs else np.zeros(0, np.uint8))
+    counts = np.asarray(_mh.process_allgather(
+        np.asarray([len(local_parts), local.size], dtype=np.int64)))
+    pad = int(counts[:, 1].max())
+    buf = np.zeros(pad, np.uint8)
+    buf[:local.size] = local
+    gathered = np.asarray(_mh.process_allgather(buf))
+    parts = []
+    for pi in range(gathered.shape[0]):
+        data, pos = gathered[pi], 0
+        for _ in range(int(counts[pi, 0])):
+            r0, n, psize = data[pos:pos + 24].copy().view(np.int64)
+            pos += 24
+            sizes = data[pos:pos + 8 * n].copy().view(np.int64)
+            pos += 8 * n
+            bits = data[pos:pos + 8 * n].copy().view(np.int64)
+            pos += 8 * n
+            payload = data[pos:pos + psize].copy()
+            pos += int(psize)
+            parts.append((int(r0), (payload, sizes, bits)))
+    return parts
 
 
 def decode_image_sharded(mesh: Mesh, data: bytes) -> np.ndarray:

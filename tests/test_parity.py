@@ -85,6 +85,30 @@ def test_adversarial_content_byte_identical(oracle_dir, tmp_path, name, img, q):
         assert np.array_equal(himg_tpu.decode(ref), ref_img)
 
 
+ODD_GEOMETRIES = [
+    # Non-multiple-of-8 h/w: pins ExtractChannelBlock's edge padding
+    # (reference encoder.cpp:26-52 — right-column replication and
+    # bottom-row flooding with the block's bottom-right valid pixel,
+    # reimplemented in ops/blocks.py) by whole-file oracle identity.
+    # Encode-side only: the reference *decoder* mis-addresses right-edge
+    # blocks when width % 8 != 0 (decoder.cpp:63-72), so decode parity
+    # stays gated per the policy at the top of this file.
+    (1, 1), (7, 5), (8, 9), (9, 8), (17, 23), (64, 63), (63, 64), (33, 41),
+]
+
+
+@pytest.mark.parametrize("h,w", ODD_GEOMETRIES)
+@pytest.mark.parametrize("q", [10, 60, 95])
+def test_odd_geometry_encode_byte_identical(oracle_dir, tmp_path, h, w, q):
+    img = make_image(h, w, 3, seed=h * 100 + w)
+    ref = oracle_encode(oracle_dir, img, q, True, tmp_path)
+    assert himg_tpu.encode(img, q, True) == ref
+    # Grayscale exercises the single-channel padding path too.
+    img1 = make_image(h, w, 1, seed=h * 100 + w + 7)
+    ref1 = oracle_encode(oracle_dir, img1, q, False, tmp_path)
+    assert himg_tpu.encode(img1, q, False) == ref1
+
+
 def test_odd_sizes_roundtrip():
     # Non-multiple-of-8 sizes: encode parity holds (checked above for
     # h=40); decoding our own stream must reproduce exact dimensions.

@@ -55,6 +55,43 @@ def test_sharded_image_decode_uneven_rows(mesh8):
     assert np.array_equal(out, himg_tpu.decode(blob))
 
 
+def test_multihost_sharded_assembly(tmp_path):
+    """Two jax.distributed processes (4 CPU devices each) encode one image
+    over the global 8-way "rows" mesh; the sharded entropy assembly runs
+    its multi-host arm (histogram allreduce + part all-gather) and must be
+    byte-identical on every process and vs the single-device encoder."""
+    import os
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coordinator = f"127.0.0.1:{port}"
+    worker = Path(__file__).resolve().parent / "multihost_worker.py"
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONSTARTUP"}
+    env["JAX_PLATFORMS"] = "cpu"
+    # Strip any sitecustomize path that pre-imports jax on a TPU plugin.
+    env["PYTHONPATH"] = ":".join(
+        p for p in env.get("PYTHONPATH", "").split(":")
+        if p and "axon" not in p) or str(worker.parent.parent)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    outs = [tmp_path / f"out{i}.himg" for i in range(2)]
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(i), coordinator, str(outs[i])],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    logs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log.decode(errors="replace")[-3000:]
+    blobs = [o.read_bytes() for o in outs]
+    assert blobs[0] == blobs[1]
+    img = make_image(128, 64, 3, seed=77)
+    assert blobs[0] == himg_tpu.encode(img, 60, True)
+
+
 @pytest.mark.skipif("HIMG_BIG_TESTS" not in __import__("os").environ,
                     reason="config 5 at literal 8K scale (~100 min on the "
                            "1-vCPU CPU mesh, XLA-CPU compile dominates); "
