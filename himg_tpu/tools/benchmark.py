@@ -81,6 +81,31 @@ def main(argv=None) -> int:
     print(f"    Min: {min_dt:g} ms")
     print(f"    Max: {max_dt:g} ms")
     print(f"Average: {total / NUM_ITERATIONS:g} ms")
+
+    if mode == "decode" and is_himg(buffer):
+        # Cross-codec row: libjpeg decode of the same image at a matched
+        # file size (the comparison the reference benchmark stubs out at
+        # benchmark.cpp:126-136 with its libjpeg-turbo TODO).
+        from PIL import Image
+        img = Image.fromarray(himg_tpu.decode(buffer).squeeze())
+        lo, hi = 1, 95
+        jbuf = None
+        while lo < hi:
+            mid = (lo + hi) // 2
+            b = io.BytesIO()
+            img.save(b, format="JPEG", quality=mid)
+            jbuf = b.getvalue()
+            if len(jbuf) < len(buffer):
+                lo = mid + 1
+            else:
+                hi = mid
+        jt = 0.0
+        for _ in range(NUM_ITERATIONS):
+            t0 = time.perf_counter()
+            Image.open(io.BytesIO(jbuf)).load()
+            jt += (time.perf_counter() - t0) * 1000.0
+        print(f"JPEG (size-matched, {len(jbuf)} bytes) "
+              f"Average: {jt / NUM_ITERATIONS:g} ms")
     return 0
 
 

@@ -54,6 +54,47 @@ def psnr(a, b):
     return float("inf") if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
 
 
+def _jpeg_point(imgs, quality: int):
+    """Aggregate (bpp, mean PSNR) for libjpeg (via PIL) at one quality."""
+    import io
+
+    from PIL import Image
+
+    tot_bits = tot_pix = 0
+    psnrs = []
+    for img in imgs:
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG", quality=quality)
+        tot_bits += buf.tell() * 8
+        tot_pix += img.shape[0] * img.shape[1]
+        dec = np.asarray(Image.open(buf).convert("RGB"))
+        psnrs.append(psnr(img, dec))
+    return tot_bits / tot_pix, float(np.mean(psnrs))
+
+
+def jpeg_at_bpp(imgs, target_bpp: float, cache: dict):
+    """JPEG point rate-matched to target_bpp (binary search on quality).
+
+    Quantifies the reference's "close to JPEG" goal (README.md:23-25) and
+    implements the cross-codec comparison its benchmark stubs out
+    (benchmark.cpp:126-136, libjpeg-turbo TODO).
+    """
+    lo, hi = 1, 95
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if mid not in cache:
+            cache[mid] = _jpeg_point(imgs, mid)
+        if cache[mid][0] < target_bpp:
+            lo = mid + 1
+        else:
+            hi = mid
+    best = min((q for q in (lo - 1, lo, lo + 1) if 1 <= q <= 95),
+               key=lambda q: abs(cache.setdefault(
+                   q, _jpeg_point(imgs, q))[0] - target_bpp))
+    bpp, p = cache[best]
+    return best, bpp, p
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", type=str, default=None,
@@ -61,6 +102,9 @@ def main(argv=None) -> int:
     ap.add_argument("--qualities", type=str,
                     default="10,20,30,40,50,60,70,80,90,95")
     ap.add_argument("--json", action="store_true", help="machine output")
+    ap.add_argument("--vs-jpeg", action="store_true",
+                    help="add a rate-matched libjpeg (PIL) comparison point "
+                         "per quality")
     args = ap.parse_args(argv)
 
     import himg_tpu
@@ -79,6 +123,7 @@ def main(argv=None) -> int:
 
     qualities = [int(q) for q in args.qualities.split(",")]
     curve = []
+    jpeg_cache = {}
     for q in qualities:
         tot_bits = tot_pix = 0
         psnrs = []
@@ -89,10 +134,18 @@ def main(argv=None) -> int:
             tot_pix += img.shape[0] * img.shape[1]
             psnrs.append(psnr(img, dec))
         bpp = tot_bits / tot_pix
-        curve.append({"quality": q, "bpp": round(bpp, 4),
-                      "psnr_db": round(float(np.mean(psnrs)), 3)})
+        point = {"quality": q, "bpp": round(bpp, 4),
+                 "psnr_db": round(float(np.mean(psnrs)), 3)}
+        line = f"q={q:3d}  bpp={bpp:6.3f}  PSNR={np.mean(psnrs):6.2f} dB"
+        if args.vs_jpeg:
+            jq, jbpp, jpsnr = jpeg_at_bpp(imgs, bpp, jpeg_cache)
+            point.update({"jpeg_quality": jq, "jpeg_bpp": round(jbpp, 4),
+                          "jpeg_psnr_db": round(jpsnr, 3)})
+            line += (f"   | JPEG q={jq:2d} bpp={jbpp:6.3f} "
+                     f"PSNR={jpsnr:6.2f} dB  (d={np.mean(psnrs)-jpsnr:+5.2f})")
+        curve.append(point)
         if not args.json:
-            print(f"q={q:3d}  bpp={bpp:6.3f}  PSNR={np.mean(psnrs):6.2f} dB")
+            print(line)
     if args.json:
         print(json.dumps(curve))
     return 0

@@ -31,6 +31,33 @@ def synth_frames(b: int, h: int, w: int, c: int = 3,
     return frames
 
 
+def real_frames(b: int, h: int, w: int, c: int = 3) -> np.ndarray:
+    """uint8 [B, H, W, C] frames tiled from real photographs.
+
+    Sources are scikit-learn's bundled sample photos (china.jpg,
+    flower.jpg; BSD-licensed, shipped with the package -- no network).
+    Each frame tiles one photo with a per-frame pixel offset so frames
+    differ while keeping true photographic statistics; entropy-stage
+    numbers on this content are the content-robustness row next to the
+    synthetic baseline (BASELINE.md).
+    """
+    from sklearn.datasets import load_sample_images
+    photos = load_sample_images().images
+    frames = np.empty((b, h, w, c), np.uint8)
+    for k in range(b):
+        src = np.asarray(photos[k % len(photos)], np.uint8)[..., :c]
+        if c > src.shape[-1]:
+            src = np.concatenate(
+                [src] + [src[..., -1:]] * (c - src.shape[-1]), axis=-1)
+        sh, sw = src.shape[:2]
+        oy, ox = (37 * k) % sh, (61 * k) % sw
+        ty = -(-(h + oy) // sh)
+        tx = -(-(w + ox) // sw)
+        big = np.tile(src, (ty, tx, 1))
+        frames[k] = big[oy:oy + h, ox:ox + w]
+    return frames
+
+
 def pack_rgbx(frames: np.ndarray) -> np.ndarray:
     """uint8 [B, H, W, C<=4] -> packed uint32 [B, H, W] (channel k in
     byte k, little-endian) for BatchCodec's packed pixel format."""
