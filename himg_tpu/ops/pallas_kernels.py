@@ -261,6 +261,159 @@ def encode_rows(pixels_pm: jnp.ndarray, grids: jnp.ndarray,
         thresholds.reshape(1, 1, 127).astype(jnp.int32))
 
 
+def _decode_channel_tile(wire32, la, lb, lc, ld, shift_col, pos_vec):
+    """Shared decode math for one channel's [64, colsP] tile -> int32
+    pixels in plane-major order (unmap, dequant, un-zigzag, inverse WHT,
+    predictor add, clamp)."""
+    mag = jnp.where(wire32 < 128, wire32, jnp.minimum(256 - wire32, 127))
+    sgn = jnp.where(wire32 < 128, 1, -1)
+    val = jnp.zeros_like(mag)
+    for k in range(128):
+        val += jnp.where(mag == k, pos_vec[k].astype(jnp.int32), 0)
+    val = val * sgn
+    coeff = _wrap16(val << shift_col)
+    x = _row_perm(coeff, _INV_ZIGZAG)
+    x = _wrap16(_butterfly_rows(x, 1) >> 3)
+    x = _wrap16(_butterfly_rows(x, 8) >> 3)
+    pred = _upsample_tile(la.astype(jnp.int32), lb.astype(jnp.int32),
+                          lc.astype(jnp.int32), ld.astype(jnp.int32))
+    return jnp.clip(x + pred, 0, 255)
+
+
+def _rasterize_channels(pixs, bmat, w8: int):
+    """c plane-major [64, colsP] int32 tiles -> [c*8, W8] raster rows:
+    out[8*ch + y, 8*blk + xx] = pixs[ch][y*8 + xx, blk].
+
+    The sublane->lane interleave is the one op Mosaic has no native path
+    for (broadcast/stack/repeat/swapaxes/strided-store formulations all
+    crash or mis-lower; receipts in docs/ARCHITECTURE.md).  What does
+    compile and is exact: 8 one-hot lane-spread matmuls on the MXU --
+    lhs_x @ B_x with B_x[b, 8b+x] = 1 and the channels stacked along the
+    LHS sublanes (M = 8c instead of 8 keeps the MXU row utilization
+    sane).  Values are 0..255 ints (exact in bf16); padded block columns
+    hit all-zero B rows and drop out.  B is a kernel input with a
+    constant index map, so it is DMA'd once, not per grid step.
+    """
+    cols_p = pixs[0].shape[-1]
+    acc = jnp.zeros((8 * len(pixs), w8), jnp.float32)
+    for xx in range(8):
+        lhs = jnp.concatenate(
+            [p.reshape(8, 8, cols_p)[:, xx, :] for p in pixs], axis=0)
+        acc += jax.lax.dot_general(
+            lhs.astype(jnp.bfloat16), bmat[xx],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return acc.astype(jnp.int32)
+
+
+def rasterize_bmat(cols_p: int, w8: int) -> np.ndarray:
+    """One-hot lane-spread matrices for _rasterize_channels: bf16
+    [8, colsP, W8] with B[x, b, 8b+x] = 1 (rows with 8b+x >= W8 zero)."""
+    bmat = np.zeros((8, cols_p, w8), np.float32)
+    for x in range(8):
+        b = np.arange((w8 - x + 7) // 8)
+        bmat[x, b, 8 * b + x] = 1.0
+    return bmat.astype(jnp.bfloat16)
+
+
+def _make_frame_kernel(c: int, use_ycbcr: bool, w8: int):
+    """Fused full-frame decode kernel body: one grid step = one block row
+    across ALL channels -> raster pixels, YCbCr inverse, and u32 channel
+    packing in VMEM.  The separate reassembly / color / packing XLA
+    passes (one full HBM round-trip each) disappear."""
+
+    def kernel(wire_ref, la_ref, lb_ref, lc_ref, ld_ref, shift_ref,
+               pos_ref, bmat_ref, out_ref):
+        pos_vec = pos_ref[0, 0]
+        pixs = [
+            _decode_channel_tile(
+                wire_ref[0, ch * 64:(ch + 1) * 64].astype(jnp.int32),
+                la_ref[0, ch], lb_ref[0, ch], lc_ref[0, ch], ld_ref[0, ch],
+                shift_ref[0, ch][:, None], pos_vec)
+            for ch in range(c)]
+        ras = _rasterize_channels(pixs, bmat_ref[...], w8)  # [c*8, w8]
+        chans = [ras[8 * ch:8 * (ch + 1)] for ch in range(c)]
+        if use_ycbcr:
+            y, cb, cr = chans[0], chans[1], chans[2]
+            cb2 = (cb << 1) - 255
+            cr2 = (cr << 1) - 255
+            g = y - ((cb2 + cr2 + 2) >> 2)
+            b = g + cb2
+            r = g + cr2
+            chans[:3] = [jnp.clip(v, 0, 255) for v in (r, g, b)]
+        if c == 1:
+            out_ref[0] = chans[0].astype(jnp.uint8)
+        else:
+            packed = chans[0].astype(jnp.uint32)
+            for k in range(1, c):
+                packed = packed | (chans[k].astype(jnp.uint32) << (8 * k))
+            out_ref[0] = packed
+
+    return kernel
+
+
+def decode_frames_raster(fres, grids, shift_zz, pos_curve,
+                         use_ycbcr: bool, interpret: bool = False):
+    """Fused decode of a batch of frames to raster packed pixels.
+
+    fres: uint8 [B, rows, C, 64, cols] wire planes (the transfer layout
+    -- reshaped, not relaid out); grids: uint8 [B, C, rows, cols] decoded
+    low-res samples; shift_zz: [C, 64]; pos_curve: [128].  Returns
+    uint32 [B, H8, W8] channel-packed pixels (byte k = channel k) for
+    C in (3, 4), or uint8 [B, H8, W8] for C == 1.  Requires
+    W8 % 128 == 0 (cols % 16 == 0); callers fall back to decode_rows +
+    XLA reassembly otherwise.
+
+    The batch is folded into the grid dimension (one grid step = one
+    block row of one frame); vmapping the kernel instead trips Mosaic's
+    2D-gather-only limit on the in-kernel un-zigzag.
+    """
+    b, rows, c, _, cols = fres.shape
+    w8 = 8 * cols
+    if w8 % 128 != 0:
+        raise ValueError(f"W8={w8} must be a lane multiple (cols % 16)")
+    cols_p = -(-cols // 128) * 128
+    wire = pad_cols(fres.reshape(b * rows, c * 64, cols))
+    # Corner-sample vectors per (frame, row, channel): [B*rows, C, colsP].
+    corners = [pad_cols(p.astype(jnp.uint8), cols_p)
+               .reshape(b, c, rows, cols_p).transpose(0, 2, 1, 3)
+               .reshape(b * rows, c, cols_p)
+               for p in corner_vectors(grids.reshape(b * c, rows, cols))]
+    space = pl.ANY if interpret else pltpu.VMEM
+    row_spec = pl.BlockSpec((1, c * 64, cols_p), lambda i: (i, 0, 0),
+                            memory_space=space)
+    corner_spec = pl.BlockSpec((1, c, cols_p), lambda i: (i, 0, 0),
+                               memory_space=space)
+    shift_spec = pl.BlockSpec((1, c, 64), lambda i: (0, 0, 0),
+                              memory_space=space)
+    pos_spec = pl.BlockSpec((1, 1, 128), lambda i: (0, 0, 0),
+                            memory_space=space)
+    bmat_spec = pl.BlockSpec((8, cols_p, w8), lambda i: (0, 0, 0),
+                             memory_space=space)
+    out_dtype = jnp.uint8 if c == 1 else jnp.uint32
+    out_spec = pl.BlockSpec((1, 8, w8), lambda i: (i, 0, 0),
+                            memory_space=space)
+    out = pl.pallas_call(
+        _make_frame_kernel(c, use_ycbcr, w8),
+        grid=(b * rows,),
+        in_specs=[row_spec] + [corner_spec] * 4
+        + [shift_spec, pos_spec, bmat_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b * rows, 8, w8), out_dtype),
+        interpret=interpret,
+    )(wire, *corners, shift_zz.reshape(1, c, 64).astype(jnp.int32),
+      pos_curve.reshape(1, 1, 128).astype(jnp.int32),
+      jnp.asarray(rasterize_bmat(cols_p, w8)))
+    return out.reshape(b, rows * 8, w8)
+
+
+def decode_frame_raster(fres, grids, shift_zz, pos_curve,
+                        use_ycbcr: bool, interpret: bool = False):
+    """Single-frame decode_frames_raster ([rows, C, 64, cols] -> [H8, W8])."""
+    return decode_frames_raster(fres[None], grids[None], shift_zz,
+                                pos_curve, use_ycbcr, interpret)[0]
+
+
 def decode_rows(wire_pm: jnp.ndarray, grids: jnp.ndarray,
                 shift_zz: jnp.ndarray, pos_curve: jnp.ndarray,
                 interpret: bool = False) -> jnp.ndarray:

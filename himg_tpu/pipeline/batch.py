@@ -101,12 +101,30 @@ class BatchCodec:
                                      delta.reshape(b, -1)], axis=1)
             return small, fres
 
+        # Fused full-frame decode (decode_frame_raster): one Pallas pass
+        # emits raster channel-packed pixels -- the reassembly, YCbCr and
+        # packing XLA passes (a full HBM round-trip each) disappear.
+        # Needs the packed pixel format and a lane-aligned width.
+        fused_dec = (use_pallas and pixel_format == "packed"
+                     and c in (1, 3, 4) and (8 * self.cols) % 128 == 0)
+
         def dec_stage(small, fres, shift_tables, fr_pos, lr_unmap):
             b = small.shape[0]
             pred = small[:, :self._npred].astype(jnp.int32).reshape(
                 b, self.c, -1)
             delta = small[:, self._npred:].reshape(
                 (b,) + self._shapes["delta"])
+            if fused_dec:
+                from ..format.tables import ZIGZAG
+                from ..ops import lowres
+                grids = jax.vmap(jax.vmap(
+                    lambda d, p: lowres.decode_deltas(
+                        d, p, lr_unmap, (self.rows, self.cols))))(
+                            delta, pred)
+                shift_zz = shift_tables[:, np.asarray(ZIGZAG)]
+                out = pk.decode_frames_raster(fres, grids, shift_zz,
+                                              fr_pos, self.use_ycbcr)
+                return out.reshape(-1)
             img = jax.vmap(
                 partial(_decode_device_planar, use_ycbcr=self.use_ycbcr,
                         use_pallas=use_pallas),

@@ -184,6 +184,21 @@ def _parse_container(data: bytes, max_threads: int = 0):
             pred_ids, delta_grids, fres)
 
 
+@partial(jax.jit, static_argnames=("use_ycbcr", "shape"))
+def _decode_device_fused(fres, delta_grids, pred_ids, shift_tables,
+                         fr_pos_curve, lr_unmap, use_ycbcr: bool, shape):
+    """Single-pass fused decode to raster channel-packed pixels
+    (pallas_kernels.decode_frame_raster); returns u32 [H8, W8] (u8 for
+    C == 1)."""
+    from ..ops import pallas_kernels as pk
+    grids = jax.vmap(
+        lambda d, p: lowres.decode_deltas(d, p, lr_unmap, shape)
+    )(delta_grids, pred_ids)
+    shift_zz = shift_tables[:, np.asarray(tables.ZIGZAG)]
+    return pk.decode_frame_raster(fres, grids, shift_zz, fr_pos_curve,
+                                  use_ycbcr)
+
+
 def decode(data: bytes, max_threads: int = 0) -> np.ndarray:
     """Decode HIMG bytes to an [H, W, C] uint8 image.
 
@@ -194,6 +209,21 @@ def decode(data: bytes, max_threads: int = 0) -> np.ndarray:
      pred_ids, delta_grids, fres) = parse_container(data, max_threads)
     from ..ops import pallas_kernels as pk
     has_chroma = header.use_ycbcr and header.num_channels >= 3
+    c = header.num_channels
+    rows, cols = fres.shape[0], fres.shape[-1]
+    if pk.default_enabled() and c in (1, 3, 4) and (8 * cols) % 128 == 0:
+        packed = np.asarray(_decode_device_fused(
+            jnp.asarray(fres), jnp.asarray(delta_grids),
+            jnp.asarray(pred_ids), jnp.asarray(shift_tables),
+            jnp.asarray(fr_pos), jnp.asarray(lr_unmap), has_chroma,
+            (rows, cols)))
+        if c == 1:
+            img = packed[..., None]
+        else:
+            # Zero-copy byte view of the packed-u32 raster buffer.
+            img = packed.view(np.uint8).reshape(rows * 8, cols * 8,
+                                                4)[..., :c]
+        return img[:header.height, :header.width, :]
     img = _decode_device(
         jnp.asarray(fres), jnp.asarray(delta_grids), jnp.asarray(pred_ids),
         jnp.asarray(shift_tables), jnp.asarray(fr_pos),

@@ -55,3 +55,45 @@ def test_decode_rows_matches_xla():
         jnp.asarray(shift_zz), jnp.asarray(fr.positive), interpret=True))
     assert np.array_equal(
         got[:, :, :cols].reshape(rows, 8, 8, cols), ref)
+
+
+def test_decode_frames_raster_matches_planar():
+    """Fused full-frame raster decode (un-zigzag/WHT/predictor/YCbCr/u32
+    pack in one kernel) vs the planar decode path, all channel counts."""
+    import jax
+    from functools import partial
+    from himg_tpu.pipeline.decode import _decode_device_planar
+    from himg_tpu.pipeline.encode import EncodeTables, _encode_device
+    from himg_tpu.utils.synth import synth_frames
+
+    for (h, w, c, ycbcr) in [(64, 128, 3, True), (48, 128, 1, False),
+                             (32, 256, 4, True)]:
+        b, q = 2, 55
+        frames = synth_frames(b, h, w, c, seed=h + w + c)
+        et = EncodeTables(q, ycbcr, c)
+        pred, delta, fres = jax.vmap(
+            partial(_encode_device, use_ycbcr=ycbcr, use_pallas=False),
+            in_axes=(0, None, None, None, None))(
+                jnp.asarray(frames), *et.device_args())
+        pred_i = jnp.asarray(np.asarray(pred).reshape(b, c, -1))
+        dargs = (jnp.asarray(et.shift_tables),
+                 jnp.asarray(et.fr_mapper.positive),
+                 jnp.asarray(et.lr_mapper.unmap_lut))
+        img = np.asarray(jax.vmap(
+            partial(_decode_device_planar, use_ycbcr=ycbcr,
+                    use_pallas=False),
+            in_axes=(0, 0, 0, None, None, None))(fres, delta, pred_i,
+                                                 *dargs))
+        rows, cols = fres.shape[1], fres.shape[-1]
+        grids = jax.vmap(jax.vmap(lambda d, p: lowres.decode_deltas(
+            d, p, dargs[2], (rows, cols))))(delta, pred_i)
+        shift_zz = et.shift_tables[:, np.asarray(tables.ZIGZAG)]
+        out = np.asarray(pk.decode_frames_raster(
+            fres, grids, jnp.asarray(shift_zz), dargs[1], ycbcr,
+            interpret=True))
+        if c == 1:
+            assert np.array_equal(out, img[:, 0])
+        else:
+            for k in range(c):
+                assert np.array_equal(
+                    ((out >> (8 * k)) & 0xFF).astype(np.uint8), img[:, k])
