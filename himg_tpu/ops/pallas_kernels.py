@@ -316,6 +316,256 @@ def rasterize_bmat(cols_p: int, w8: int) -> np.ndarray:
     return bmat.astype(jnp.bfloat16)
 
 
+def derasterize_bmat(cols_p: int, w8: int) -> np.ndarray:
+    """Transposed lane-spread matrices for the encode direction: bf16
+    [8, W8, colsP] with Bt[x, 8b+x, b] = 1 (raster lanes -> block cols)."""
+    bmat = np.zeros((8, w8, cols_p), np.float32)
+    for x in range(8):
+        b = np.arange((w8 - x + 7) // 8)
+        bmat[x, 8 * b + x, b] = 1.0
+    return bmat.astype(jnp.bfloat16)
+
+
+def sampling_wmat(w: int, cols_p: int) -> np.ndarray:
+    """Horizontal window-sum matrix for in-kernel low-res sampling: f32
+    [W8, colsP] with W[j, u] = 1 for max(0, 8u-3) <= j <= min(w-1, 8u+4)
+    (downsampled.cpp:67-94's x window); columns u >= ceil(w/8) stay zero.
+    Sums of <= 8 row-sums of <= 2040 stay < 2**24: exact in f32.
+    """
+    cols = (w + 7) >> 3
+    w8 = cols * 8
+    mat = np.zeros((w8, cols_p), np.float32)
+    for u in range(min(cols, cols_p)):
+        x0, x1 = max(0, 8 * u - 3), min(w - 1, 8 * u + 4)
+        mat[x0:x1 + 1, u] = 1.0
+    return mat
+
+
+def _lane_shift_right(x, lane_iota):
+    """x[..., u] -> x[..., u-1] with lane 0 edge-replicated ([*, L] 2D)."""
+    rolled = pltpu.roll(x, 1, axis=1)
+    return jnp.where(lane_iota == 0, x, rolled)
+
+
+def _lane_shift_left_clamped(x, lane_iota, last: int):
+    """x[..., u] -> x[..., u+1] with lanes >= last clamped to x[..., last]."""
+    rolled = pltpu.roll(x, x.shape[1] - 1, axis=1)
+    edge = jax.lax.broadcast_in_dim(x[:, last], x.shape, (0,))
+    return jnp.where(lane_iota >= last, edge, rolled)
+
+
+def _encode_channel_tile(pix, la, lb, lc, ld, shift_col, th_vec):
+    """Shared encode math for one channel's plane-major [64, colsP] int32
+    pixel tile -> uint8 wire bytes (predictor subtract, forward WHT with
+    int16 wrap, zigzag, shift-quantize, MapTo8Bit compare reduction).
+    Mirrors _encode_kernel (encoder.cpp:59-109 semantics)."""
+    pred = _upsample_tile(la.astype(jnp.int32), lb.astype(jnp.int32),
+                          lc.astype(jnp.int32), ld.astype(jnp.int32))
+    x = _wrap16(pix - pred)
+    x = _butterfly_rows(x, 1, wrap=True)
+    x = _butterfly_rows(x, 8, wrap=True)
+    x32 = _row_perm(x, np.asarray(ZIGZAG))
+    rnd = jnp.where(shift_col != 0, 1 << jnp.maximum(shift_col - 1, 0), 0)
+    mag = (jnp.abs(x32) + rnd) >> shift_col
+    q = _wrap16(jnp.where(x32 < 0, -mag, mag))
+    aq = jnp.abs(q)
+    idx = jnp.zeros_like(aq)
+    for k in range(127):
+        idx += (aq >= th_vec[k]).astype(jnp.int32)
+    idx = jnp.where(q == -32768, 1, idx)
+    wire = jnp.where(q == 0, 0, jnp.where(q > 0, idx, (-idx) & 0xFF))
+    return wire.astype(jnp.uint8)
+
+
+def _make_encode_frame_kernel(c: int, use_ycbcr: bool, rows: int, h: int,
+                              w: int, cols: int, cols_p: int):
+    """Single-pass encode kernel body: one grid step = one block row.
+
+    Consumes raw raster packed-u32 pixels (4 halo-clamped block views of
+    the same array) and produces wire planes AND the block row's low-res
+    sample vector.  Everything between the pixels and the wire --
+    u32 unpack, YCbCr, the 8x8 window means with edge clamps and the
+    1/16 phase-compensation blends (downsampled.cpp:67-113), the
+    raster->plane-major interleave, in-kernel predictor upsample, WHT,
+    quantize, MapTo8Bit -- happens in VMEM, eliminating the unpack,
+    color, low-res sampling, and layout XLA passes (a full HBM round
+    trip each).  Requires h % 8 == 0 and w % 8 == 0 (callers gate).
+    """
+    w8 = cols * 8
+
+    def unpack_ycbcr(ras32):
+        """[8, w8] int32 packed pixels -> c x [8, w8] int32 planes."""
+        if c == 1:
+            return [ras32]
+        chans = [(ras32 >> (8 * k)) & 0xFF for k in range(c)]
+        if use_ycbcr:
+            r, g, b = chans[0], chans[1], chans[2]
+            y = (r + 2 * g + b + 2) >> 2
+            cb = (b - g + 256) >> 1
+            cr = (r - g + 256) >> 1
+            chans[:3] = [y, cb, cr]
+        return chans
+
+    def kernel(rm2_ref, rm1_ref, rc0_ref, rp1_ref, shift_ref, th_ref,
+               wmat_ref, bt_ref, wire_ref, samp_ref):
+        i = pl.program_id(0)
+        v = jax.lax.rem(i, rows)
+        row8 = jax.lax.broadcasted_iota(jnp.int32, (8, w8), 0)
+
+        # --- low-res window sums over the halo blocks (slots v-2..v+1).
+        slots = [rm2_ref, rm1_ref, rc0_ref, rp1_ref]
+        acc = [[None] * c for _ in range(3)]          # t = v-1, v, v+1
+        center = None
+        for s, ref in enumerate(slots):
+            vb = v + (s - 2)
+            valid = jnp.logical_and(vb >= 0, vb <= rows - 1)
+            chans = unpack_ycbcr(ref[0].astype(jnp.int32))
+            if s == 2:
+                center = chans                        # block v pixels
+            gy = vb * 8 + row8
+            for ti in range(3):
+                t = v + (ti - 1)
+                y0 = jnp.maximum(0, 8 * t - 3)
+                y1 = jnp.minimum(h - 1, 8 * t + 4)
+                m = jnp.logical_and(valid,
+                                    jnp.logical_and(gy >= y0, gy <= y1))
+                for ch in range(c):
+                    part = jnp.where(m, chans[ch], 0).sum(
+                        axis=0, keepdims=True)        # [1, w8]
+                    acc[ti][ch] = part if acc[ti][ch] is None \
+                        else acc[ti][ch] + part
+
+        # Horizontal window sums per block column via the one-hot band
+        # matrix.  The MXU rounds matmul INPUTS to bf16 (8 mantissa bits)
+        # while accumulating in f32, and vertical sums reach 2040 (11
+        # bits), so the operand is split into exact 7-bit planes:
+        # hsum = lo @ W + 128 * (hi @ W), each term bf16-exact.
+        vstack = jnp.concatenate(
+            [acc[ti][ch] for ti in range(3) for ch in range(c)], axis=0)
+        wmat = wmat_ref[...]
+        dot = lambda l: jax.lax.dot_general(
+            l.astype(jnp.bfloat16), wmat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        hsum = dot(vstack & 0x7F) + dot(vstack >> 7) * 128.0  # [3c, colsP]
+
+        # Clamped window extents -> exact rounded means.  TPU f32 divide
+        # is an approximate reciprocal multiply, so the quotient gets an
+        # exact integer correction (+-1 covers the reciprocal error for
+        # numerators < 2**24 by a huge margin; applied twice for slack).
+        u_lane = jax.lax.broadcasted_iota(jnp.int32, (c, cols_p), 1)
+        x0 = jnp.maximum(0, 8 * u_lane - 3)
+        x1 = jnp.minimum(w - 1, 8 * u_lane + 4)
+        xext = jnp.maximum(x1 - x0 + 1, 1)
+        avgs = []
+        for ti in range(3):
+            t = v + (ti - 1)
+            ylen = jnp.minimum(h - 1, 8 * t + 4) - jnp.maximum(0, 8 * t - 3) + 1
+            count = jnp.maximum(ylen, 1) * xext       # [c, colsP]
+            num = hsum[ti * c:(ti + 1) * c].astype(jnp.int32) + (count >> 1)
+            cf = count.astype(jnp.float32)
+            q = (num.astype(jnp.float32) / cf).astype(jnp.int32)
+            for _ in range(2):
+                r = num - q * count
+                q += (r >= count).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+            avgs.append(q)
+
+        # Phase compensation: 1/16 blend with left, then up neighbour.
+        a_rows = []
+        for ti in range(3):
+            left = _lane_shift_right(avgs[ti], u_lane)
+            a_rows.append((left + 15 * avgs[ti] + 8) >> 4)
+        a_prev_v = jnp.where(v == 0, a_rows[1], a_rows[0])
+        comp_v = (a_prev_v + 15 * a_rows[1] + 8) >> 4
+        comp_v1 = (a_rows[1] + 15 * a_rows[2] + 8) >> 4
+
+        # Predictor corner vectors (edge-clamped right/down neighbours).
+        la = comp_v
+        lc = jnp.where(v == rows - 1, comp_v, comp_v1)
+        lb = _lane_shift_left_clamped(la, u_lane, cols - 1)
+        ld = _lane_shift_left_clamped(lc, u_lane, cols - 1)
+
+        # Raster -> plane-major via transposed lane-spread matmuls
+        # (values 0..255: exact in bf16), channels stacked for M = 8c.
+        ras_lhs = jnp.concatenate(center, axis=0).astype(jnp.bfloat16)
+        subs = []                                     # per x: [8c, colsP]
+        for xx in range(8):
+            subs.append(jax.lax.dot_general(
+                ras_lhs, bt_ref[xx], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32))
+
+        th_vec = th_ref[0, 0]
+        wires = []
+        for ch in range(c):
+            pm = jnp.concatenate(
+                [subs[xx][8 * ch + y:8 * ch + y + 1]
+                 for y in range(8) for xx in range(8)], axis=0)
+            wires.append(_encode_channel_tile(
+                pm, la[ch], lb[ch], lc[ch], ld[ch],
+                shift_ref[0, ch][:, None], th_vec))
+        wire_ref[0] = jnp.concatenate(wires, axis=0)
+        samp_ref[0] = jnp.clip(comp_v, 0, 255).astype(jnp.uint8)
+
+    return kernel
+
+
+def encode_frames_from_raster(packed, shift_zz, thresholds, c: int,
+                              use_ycbcr: bool, interpret: bool = False):
+    """Single-pass fused encode of raster packed frames.
+
+    packed: uint32 [B, H, W] channel-packed pixels (uint8 [B, H, W] for
+    c == 1).  Returns (fres uint8 [B, rows, C, 64, cols],
+    grids uint8 [B, C, rows, cols]) -- the low-res sample grid comes out
+    of the same kernel pass, so the caller only runs the (tiny) predictor
+    search + feedback scan on it.  Requires H % 8 == 0, W % 8 == 0 and
+    W % 128 == 0; callers fall back to the multi-pass path otherwise.
+    """
+    b, hh, ww = packed.shape
+    if hh % 8 or ww % 8 or ww % 128:
+        raise ValueError(f"geometry {hh}x{ww} needs the multi-pass path")
+    rows, cols = hh // 8, ww // 8
+    cols_p = -(-cols // 128) * 128
+    w8 = cols * 8
+    nb = b * rows
+    ras = packed.reshape(nb, 8, w8)
+    space = pl.ANY if interpret else pltpu.VMEM
+
+    def halo(off):
+        def index_map(i):
+            lo = (i // rows) * rows
+            return (jnp.clip(i + off, lo, lo + rows - 1), 0, 0)
+        return pl.BlockSpec((1, 8, w8), index_map, memory_space=space)
+
+    shift_spec = pl.BlockSpec((1, c, 64), lambda i: (0, 0, 0),
+                              memory_space=space)
+    th_spec = pl.BlockSpec((1, 1, 127), lambda i: (0, 0, 0),
+                           memory_space=space)
+    wmat_spec = pl.BlockSpec((w8, cols_p), lambda i: (0, 0),
+                             memory_space=space)  # bf16 one-hot band
+    bt_spec = pl.BlockSpec((8, w8, cols_p), lambda i: (0, 0, 0),
+                           memory_space=space)
+    wire_spec = pl.BlockSpec((1, c * 64, cols_p), lambda i: (i, 0, 0),
+                             memory_space=space)
+    samp_spec = pl.BlockSpec((1, c, cols_p), lambda i: (i, 0, 0),
+                             memory_space=space)
+    wire, samp = pl.pallas_call(
+        _make_encode_frame_kernel(c, use_ycbcr, rows, hh, ww, cols, cols_p),
+        grid=(nb,),
+        in_specs=[halo(-2), halo(-1), halo(0), halo(1),
+                  shift_spec, th_spec, wmat_spec, bt_spec],
+        out_specs=[wire_spec, samp_spec],
+        out_shape=[jax.ShapeDtypeStruct((nb, c * 64, cols_p), jnp.uint8),
+                   jax.ShapeDtypeStruct((nb, c, cols_p), jnp.uint8)],
+        interpret=interpret,
+    )(ras, ras, ras, ras,
+      shift_zz.reshape(1, c, 64).astype(jnp.int32),
+      thresholds.reshape(1, 1, 127).astype(jnp.int32),
+      jnp.asarray(sampling_wmat(ww, cols_p), jnp.bfloat16),
+      jnp.asarray(derasterize_bmat(cols_p, w8)))
+    fres = wire.reshape(b, rows, c, 64, cols_p)[..., :cols]
+    grids = samp.reshape(b, rows, c, cols_p)[..., :cols].transpose(0, 2, 1, 3)
+    return fres, grids
+
+
 def _make_frame_kernel(c: int, use_ycbcr: bool, w8: int):
     """Fused full-frame decode kernel body: one grid step = one block row
     across ALL channels -> raster pixels, YCbCr inverse, and u32 channel

@@ -90,13 +90,35 @@ class BatchCodec:
                 out = out | (img[:, k].astype(jnp.uint32) << (8 * k))
             return out.reshape(-1)
 
+        # Single-pass fused encode (encode_frames_from_raster): unpack,
+        # YCbCr, low-res sampling, layout, WHT, quantize and MapTo8Bit run
+        # in one Pallas pass over the raster input; only the (tiny)
+        # predictor search + feedback scan stay in XLA.
+        fused_enc = (use_pallas and pixel_format == "packed"
+                     and c in (1, 3, 4) and h % 8 == 0 and w % 128 == 0)
+
         def enc_stage(frames, *targs):
+            b = frames.shape[0]
+            if fused_enc:
+                from ..format.tables import ZIGZAG
+                from ..ops import lowres
+                shift_zz = targs[0][:, np.asarray(ZIGZAG)]
+                fres, grids = pk.encode_frames_from_raster(
+                    frames, shift_zz, targs[1], c, self.use_ycbcr)
+                pred = jax.vmap(jax.vmap(lowres.select_predictors))(grids)
+                eff = jnp.where(pred <= 1, 0, pred)
+                delta = jax.vmap(jax.vmap(
+                    lambda g, p: lowres.encode_deltas(g, p, targs[2],
+                                                      targs[3])))(grids, eff)
+                small = jnp.concatenate(
+                    [pred.astype(jnp.uint8).reshape(b, -1),
+                     delta.reshape(b, -1)], axis=1)
+                return small, fres
             pred, delta, fres = jax.vmap(
                 partial(_encode_device_planar, use_ycbcr=self.use_ycbcr,
                         use_pallas=use_pallas),
                 in_axes=(0, None, None, None, None))(to_planar(frames),
                                                      *targs)
-            b = frames.shape[0]
             small = jnp.concatenate([pred.astype(jnp.uint8).reshape(b, -1),
                                      delta.reshape(b, -1)], axis=1)
             return small, fres

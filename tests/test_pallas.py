@@ -57,6 +57,38 @@ def test_decode_rows_matches_xla():
         got[:, :, :cols].reshape(rows, 8, 8, cols), ref)
 
 
+def test_encode_frames_from_raster_matches_planar():
+    """Single-pass fused encode (in-kernel unpack/YCbCr/low-res sampling/
+    phase compensation/de-rasterize/WHT/quantize/map) vs the multi-pass
+    XLA path: byte-identical FRES planes and sample grids."""
+    import jax
+    from functools import partial
+    from himg_tpu.ops import ycbcr as yc
+    from himg_tpu.pipeline.encode import EncodeTables, _encode_device_planar
+    from himg_tpu.utils.synth import pack_rgbx, synth_frames
+
+    for (h, w, c, use_ycbcr) in [(64, 128, 3, True), (48, 128, 1, False),
+                                 (32, 256, 4, True)]:
+        b, q = 2, 55
+        frames = synth_frames(b, h, w, c, seed=h + w + c)
+        packed = frames[..., 0] if c == 1 else pack_rgbx(frames)
+        et = EncodeTables(q, use_ycbcr, c)
+        chans = jnp.asarray(np.moveaxis(frames, -1, 1))
+        ref = jax.vmap(partial(_encode_device_planar, use_ycbcr=use_ycbcr,
+                               use_pallas=False),
+                       in_axes=(0, None, None, None, None))(
+                           chans, *et.device_args())
+        pc = jax.vmap(yc.rgb_to_ycbcr_planar)(chans) if use_ycbcr else chans
+        ref_grids = np.asarray(jax.vmap(jax.vmap(lowres.sample_image))(pc))
+        shift_zz = et.shift_tables[:, np.asarray(tables.ZIGZAG)]
+        fres, grids = pk.encode_frames_from_raster(
+            jnp.asarray(packed), jnp.asarray(shift_zz),
+            jnp.asarray(et.fr_mapper.pack_thresholds), c, use_ycbcr,
+            interpret=True)
+        assert np.array_equal(np.asarray(grids), ref_grids)
+        assert np.array_equal(np.asarray(fres), np.asarray(ref[2]))
+
+
 def test_decode_frames_raster_matches_planar():
     """Fused full-frame raster decode (un-zigzag/WHT/predictor/YCbCr/u32
     pack in one kernel) vs the planar decode path, all channel counts."""
