@@ -45,7 +45,7 @@ class BatchCodec:
 
     def __init__(self, h: int, w: int, c: int, quality: int = 50,
                  use_ycbcr: bool = True, chunk: int = 4,
-                 pixel_format: str = "hwc"):
+                 pixel_format: str = "hwc", host_threads: int = 1):
         if pixel_format not in ("hwc", "packed"):
             raise ValueError(f"unknown pixel_format {pixel_format!r}")
         if pixel_format == "packed" and c not in (1, 3, 4):
@@ -53,6 +53,12 @@ class BatchCodec:
         self.pixel_format = pixel_format
         self.h, self.w, self.c = h, w, c
         self.chunk = chunk
+        # Host-stage fan-out: frames of a chunk are entropy-coded/parsed
+        # on host_threads workers (the native codec releases the GIL and
+        # additionally threads over substreams *within* a frame).  The
+        # default of 1 matches the 1-vCPU bench host; production hosts
+        # scale the entropy stage across cores with this knob.
+        self.host_threads = max(1, int(host_threads))
         self.use_ycbcr = bool(use_ycbcr) and c >= 3
         self.tables = EncodeTables(quality, self.use_ycbcr, c)
         self.rows, self.cols = (h + 7) >> 3, (w + 7) >> 3
@@ -209,13 +215,16 @@ class BatchCodec:
             small = np.asarray(small_dev).reshape(nb, self._small)
             fres = np.asarray(fres_dev).reshape(nb, -1)
             hists = np.asarray(hist_dev).astype(np.int64)
-            out = []
-            for i in range(nb):
+
+            def one(i):
                 pred, delta, fr = self._image_views(small[i], fres[i])
-                out.append(assemble_container(self.w, self.h, self.c,
-                                              self.tables, pred, delta, fr,
-                                              fres_hist=hists[i]))
-            return out
+                return assemble_container(self.w, self.h, self.c,
+                                          self.tables, pred, delta, fr,
+                                          fres_hist=hists[i])
+            if self.host_threads > 1:
+                with ThreadPoolExecutor(self.host_threads) as frame_pool:
+                    return list(frame_pool.map(one, range(nb)))
+            return [one(i) for i in range(nb)]
 
         blobs: list[bytes] = []
         with ThreadPoolExecutor(max_workers=1) as pool:
@@ -237,7 +246,11 @@ class BatchCodec:
         targs_holder = {}
 
         def parse_stage(chunk_blobs):
-            parsed = [parse_container(bl) for bl in chunk_blobs]
+            if self.host_threads > 1:
+                with ThreadPoolExecutor(self.host_threads) as frame_pool:
+                    parsed = list(frame_pool.map(parse_container, chunk_blobs))
+            else:
+                parsed = [parse_container(bl) for bl in chunk_blobs]
             hdr = parsed[0][0]
             assert (hdr.height, hdr.width, hdr.num_channels) == \
                 (self.h, self.w, self.c), "geometry mismatch"

@@ -160,7 +160,9 @@ def test_unknown_chunks_are_skipped():
 def test_batch_codec_matches_single():
     from himg_tpu.pipeline.batch import BatchCodec
     frames = np.stack([make_image(64, 48, 3, seed=s) for s in range(6)])
-    codec = BatchCodec(64, 48, 3, 60, True, chunk=4)
+    # host_threads fans the per-frame entropy/container work across a
+    # pool (the multi-core host stage); output must stay byte-identical.
+    codec = BatchCodec(64, 48, 3, 60, True, chunk=4, host_threads=4)
     blobs = codec.encode_batch(frames)
     for i in range(6):
         assert blobs[i] == himg_tpu.encode(frames[i], 60, True)
