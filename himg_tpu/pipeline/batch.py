@@ -252,8 +252,12 @@ class BatchCodec:
             else:
                 parsed = [parse_container(bl) for bl in chunk_blobs]
             hdr = parsed[0][0]
-            assert (hdr.height, hdr.width, hdr.num_channels) == \
-                (self.h, self.w, self.c), "geometry mismatch"
+            if (hdr.height, hdr.width, hdr.num_channels) != \
+                    (self.h, self.w, self.c):
+                raise ValueError(
+                    f"blob geometry {hdr.height}x{hdr.width}x"
+                    f"{hdr.num_channels} does not match codec "
+                    f"{self.h}x{self.w}x{self.c}")
             if not targs_holder:
                 targs_holder["t"] = tuple(
                     jnp.asarray(a) for a in parsed[0][1:4])

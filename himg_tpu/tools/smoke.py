@@ -123,11 +123,12 @@ def _run_checks(log):
 
     def device_histogram():
         from ..entropy import native
-        from ..entropy.device_hist import token_histogram
-        hist_dev = np.asarray(jax.jit(jax.vmap(token_histogram))(
-            jnp.asarray(fres))).astype(np.int64)
+        from ..entropy.device_hist import frame_histograms
+        block = fres.shape[-1] * C * 64
+        hist_dev = np.asarray(jax.jit(
+            lambda f: frame_histograms(f.reshape(f.shape[0], -1), block))(
+                jnp.asarray(fres))).astype(np.int64)
         if native.available():
-            block = fres.shape[-1] * C * 64
             for i in range(B):
                 host = native.histogram(
                     np.ascontiguousarray(fres[i]).reshape(-1), block)
