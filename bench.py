@@ -51,6 +51,9 @@ def log(msg):
 
 
 def make_frames(batch=BATCH):
+    if "--real-content" in sys.argv:
+        from himg_tpu.utils.synth import real_frames
+        return real_frames(batch, H, W, C)
     from himg_tpu.utils.synth import synth_frames
     return synth_frames(batch, H, W, C)
 

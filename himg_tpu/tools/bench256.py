@@ -95,22 +95,53 @@ def main():
     except Exception as e:  # noqa: BLE001 - diagnostics only
         log(f"memory_stats unavailable: {e}")
 
+    # Device decode over all 256 frames (VERDICT r2 item 4): chained chunk
+    # dispatches on the encode outputs already resident in HBM, one sync.
+    # All 16 packed-u32 output buffers (2.1 GB) are kept live alongside the
+    # inputs to prove decode-side residency at the full scale.
+    dargs = (jnp.asarray(codec.tables.shift_tables),
+             jnp.asarray(codec.tables.fr_mapper.positive),
+             jnp.asarray(codec.tables.lr_mapper.unmap_lut))
+    img0 = codec._dec(*outs[0], *dargs)
+    sync(img0)  # compile
+    t0 = time.perf_counter()
+    imgs = [codec._dec(s, f, *dargs) for s, f in outs]
+    sync(imgs[-1])
+    dev_dec = time.perf_counter() - t0
+    dec_rate = pix / dev_dec / 1e6
+    log(f"device decode {BATCH}x1080p: {dev_dec:.2f}s -> {dec_rate:.0f} MPix/s")
+    try:
+        ms = jax.devices()[0].memory_stats()
+        log(f"HBM in use incl. decode outputs: "
+            f"{ms.get('bytes_in_use', 0)/1e9:.2f} GB of "
+            f"{ms.get('bytes_limit', 0)/1e9:.2f} GB")
+    except Exception as e:  # noqa: BLE001 - diagnostics only
+        log(f"memory_stats unavailable: {e}")
+    del img0, imgs
+
     # Host entropy over ALL 256 frames (no extrapolation).  The device ->
     # host copies ride the slow tunnel; time them separately so the entropy
-    # rate reflects host work, as in bench.py.
+    # rate reflects host work, as in bench.py.  Encode uses the production
+    # TPU-assisted path: the device computes each frame's exact 261-bin
+    # token histogram while the planes are still resident (its dispatch is
+    # timed inside the entropy stage, where it belongs -- it replaces host
+    # analysis work), so the host runs the fused single-pass scan+pack.
     t0 = time.perf_counter()
     host_rows = [(np.asarray(s).reshape(CHUNK, -1),
                   np.asarray(f).reshape(CHUNK, -1)) for s, f in outs]
     xfer_s = time.perf_counter() - t0
     log(f"device->host copy of all planes: {xfer_s:.1f}s (tunnel)")
+    hist0 = codec._hist(outs[0][1])  # warm the histogram program
+    np.asarray(hist0)
     ent_enc = ent_dec = 0.0
     n_blob_bytes = 0
-    for smalls, freses in host_rows:
-        views = [codec._image_views(smalls[i], freses[i])
-                 for i in range(CHUNK)]
+    for (smalls, freses), (_, fres_dev) in zip(host_rows, outs):
         t0 = time.perf_counter()
-        blobs = [assemble_container(W, H, C, codec.tables, *v)
-                 for v in views]
+        hists = np.asarray(codec._hist(fres_dev)).astype(np.int64)
+        blobs = [assemble_container(W, H, C, codec.tables,
+                                    *codec._image_views(smalls[i], freses[i]),
+                                    fres_hist=hists[i])
+                 for i in range(CHUNK)]
         ent_enc += time.perf_counter() - t0
         n_blob_bytes += sum(len(b) for b in blobs)
         t0 = time.perf_counter()
