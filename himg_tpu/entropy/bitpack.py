@@ -172,21 +172,22 @@ def pack_with_code_py(data: np.ndarray, block_size: int, code: HuffmanCode):
     return flat, sizes, total_bits.astype(np.int64)
 
 
-def compress(data: np.ndarray, block_size: int) -> bytes:
+def compress(data: np.ndarray, block_size: int, view: bool = False):
     """Full reference-parity Huffman compression of a byte buffer.
 
     Dispatches to the native C++ backend when available (byte-identical);
     the NumPy implementation below is the readable spec + fallback.
-    `block_size=0` means one single stream.
+    `block_size=0` means one single stream.  view=True may return a
+    zero-copy memoryview (native path) for immediate-join callers.
     """
     from . import native
     if native.available():
-        return native.compress(data, block_size)
+        return native.compress(data, block_size, view=view)
     return compress_py(data, block_size)
 
 
 def compress_assisted(data: np.ndarray, block_size: int,
-                      hist: np.ndarray) -> bytes:
+                      hist: np.ndarray, view: bool = False):
     """Compression with a precomputed (device-side) token histogram.
 
     `hist` is the exact 261-bin token histogram of `data` (from
@@ -197,7 +198,7 @@ def compress_assisted(data: np.ndarray, block_size: int,
     """
     from . import native
     if native.available():
-        return native.compress_assisted(data, block_size, hist)
+        return native.compress_assisted(data, block_size, hist, view=view)
     return compress_py(data, block_size)
 
 

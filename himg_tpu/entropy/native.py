@@ -40,7 +40,7 @@ def _load():
         ctypes.c_void_p, ctypes.c_int64]
     lib.he_decompress.restype = ctypes.c_int32
     lib.he_decompress.argtypes = [
-        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32]
     lib.he_histogram.restype = ctypes.c_int32
     lib.he_histogram.argtypes = [
@@ -64,7 +64,10 @@ def available() -> bool:
     return _load() is not None
 
 
-def compress(data: np.ndarray, block_size: int) -> bytes:
+def compress(data: np.ndarray, block_size: int, view: bool = False):
+    """view=True returns a zero-copy memoryview of the scratch buffer
+    (for callers that immediately join it into a container and drop it);
+    default returns an owned bytes object."""
     lib = _load()
     data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
     n = data.size
@@ -76,11 +79,11 @@ def compress(data: np.ndarray, block_size: int) -> bytes:
                            block_size, out.ctypes.data, cap)
     if size < 0:
         raise ValueError("native entropy compression failed")
-    return out[:size].tobytes()
+    return out[:size].data if view else out[:size].tobytes()
 
 
 def compress_assisted(data: np.ndarray, block_size: int,
-                      hist: np.ndarray) -> bytes:
+                      hist: np.ndarray, view: bool = False):
     """Compress with a precomputed 261-bin token histogram.
 
     The TPU-assisted encode path: `hist` comes from the device
@@ -104,7 +107,7 @@ def compress_assisted(data: np.ndarray, block_size: int,
     if size < 0:
         raise ValueError(
             f"native assisted compression failed (rc={size})")
-    return out[:size].tobytes()
+    return out[:size].data if view else out[:size].tobytes()
 
 
 def last_phase_ms() -> dict:
@@ -159,11 +162,14 @@ def pack_with_code(data: np.ndarray, block_size: int, codes: np.ndarray,
     return out[:total], sizes, tbits
 
 
-def decompress(data: bytes, out_size: int, block_size: int,
+def decompress(data, out_size: int, block_size: int,
                n_threads: int = 0) -> np.ndarray:
+    """data: any contiguous byte buffer (bytes, memoryview, ndarray) --
+    the container layer hands over zero-copy views of the stream."""
     lib = _load()
+    src = np.frombuffer(data, dtype=np.uint8)  # zero-copy
     out = np.empty(out_size, dtype=np.uint8)
-    rc = lib.he_decompress(data, len(data), block_size,
+    rc = lib.he_decompress(src.ctypes.data, src.size, block_size,
                            out.ctypes.data, out_size, n_threads)
     if rc != 0:
         raise ValueError(f"native entropy decompression failed (rc={rc})")

@@ -152,13 +152,17 @@ def assemble_container(w: int, h: int, c: int, et: EncodeTables,
     writer.add_chunk("QCFG", tables.pack_quant_config(
         et.luma_shift, et.chroma_shift if et.use_ycbcr else None))
     writer.add_chunk("FMAP", et.fr_mapper.serialize())
+    # view=True: the ~2 MB FRES blob goes into the writer's single join
+    # as a zero-copy view of the native scratch buffer.
     if fres_stream is not None:
         fres_blob = fres_stream
     elif fres_hist is not None:
         fres_blob = bitpack.compress_assisted(fres.reshape(-1),
-                                              cols * c * 64, fres_hist)
+                                              cols * c * 64, fres_hist,
+                                              view=True)
     else:
-        fres_blob = bitpack.compress(fres.reshape(-1), cols * c * 64)
+        fres_blob = bitpack.compress(fres.reshape(-1), cols * c * 64,
+                                     view=True)
     writer.add_chunk("FRES", fres_blob)
     return writer.tobytes()
 
