@@ -1061,21 +1061,46 @@ inline void TokenizeBlock(const uint8_t *blk, int64_t block_size,
     int pc = __builtin_popcountll(m);
     zeros_hist += pc;
     zeros_all += pc;
-    if (st.cur_zrun && !(m & 1)) st.CloseRun();
-    uint64_t mm = m;
-    while (mm) {
-      int s = __builtin_ctzll(mm);
-      uint64_t tail = mm >> s;
-      int r = tail == ~0ull ? 64 : __builtin_ctzll(~tail);
-      if (s == 0 && st.cur_zrun) {
-        st.cur_zrun += r;               // continuation across the border
+    // Branch-reduced run walk; same formulation (and A/B receipts) as
+    // PackTokenizer::Run below.
+    uint64_t starts = m & ~(m << 1);
+    uint64_t ends = m & ~(m >> 1);
+    if (m >> 63) ends &= ~(1ull << 63);
+    if (st.cur_zrun) {
+      if (m & 1) {                      // continuation closes here
+        int e = __builtin_ctzll(~m);
+        st.cur_zrun += e;
+        st.CloseRun();
+        starts &= starts - 1;           // its start bit (bit 0)
+        ends &= ends - 1;               // its end bit (at e-1)
       } else {
-        st.run_begin = k + s;
-        st.cur_zrun = r;
+        st.CloseRun();
       }
-      if (s + r >= 64) break;           // run reaches the chunk end
-      st.CloseRun();                    // run ended inside the chunk
-      mm &= ~(((1ull << r) - 1) << s);
+    }
+    while (ends) {
+      int e = __builtin_ctzll(ends);
+      ends &= ends - 1;
+      int s = __builtin_ctzll(starts);
+      starts &= starts - 1;
+      int len = e - s + 1;
+      if (len >= 2) {                   // single zeros stay literal
+        uint32_t extra;
+        int ebits;
+        int sym = RunSymbol(len, &extra, &ebits);
+        st.hist[sym]++;
+        st.extra_total += ebits;
+        *st.sp++ = {static_cast<uint32_t>(k + s - st.lit_start),
+                    static_cast<uint32_t>(len)};
+        st.lit_start = k + s + len;
+        st.run_zeros += len;
+      }
+    }
+    if (starts) {                       // open run into the next chunk
+      int s = __builtin_ctzll(starts);
+      st.run_begin = k + s;
+      st.cur_zrun = 64 - s;
+    } else {
+      st.cur_zrun = 0;
     }
   }
 #elif HIMG_HAVE_SSE2
@@ -1268,21 +1293,53 @@ class PackTokenizer {
         cur_zrun_ += 64;
         continue;
       }
-      if (cur_zrun_ && !(m & 1)) CloseRun();
-      uint64_t mm = m;
-      while (mm) {
-        int s = __builtin_ctzll(mm);
-        uint64_t tail = mm >> s;
-        int r = tail == ~0ull ? 64 : __builtin_ctzll(~tail);
-        if (s == 0 && cur_zrun_) {
-          cur_zrun_ += r;                 // continuation across the border
+      // Branch-reduced run walk (interleaved A/B min-of-12: 20.9 ->
+      // 17.2 ms/frame vs the ctz-and-clear walk): run starts/ends come
+      // from the mask's bit transitions and are popped lowest-first in
+      // pairs -- one well-predicted loop branch per run instead of three
+      // data-dependent ones.  A run touching bit 63 keeps its end bit
+      // cleared and stays open; an open run entering at bit 0 closes at
+      // the first transition (its start/end bits are popped before the
+      // pair loop).  Local runs are <= 64 zeros, so they skip CloseRun's
+      // kMaxRun cap loop and emit their symbol directly.
+      uint64_t starts = m & ~(m << 1);
+      uint64_t ends = m & ~(m >> 1);
+      if (m >> 63) ends &= ~(1ull << 63);
+      if (cur_zrun_) {
+        if (m & 1) {                      // continuation closes here
+          int e = __builtin_ctzll(~m);
+          cur_zrun_ += e;
+          CloseRun();
+          starts &= starts - 1;           // its start bit (bit 0)
+          ends &= ends - 1;               // its end bit (at e-1)
         } else {
-          run_begin_ = k + s;
-          cur_zrun_ = r;
+          CloseRun();
         }
-        if (s + r >= 64) break;           // run reaches the chunk end
-        CloseRun();                       // run ended inside the chunk
-        mm &= ~(((1ull << r) - 1) << s);
+      }
+      while (ends) {
+        int e = __builtin_ctzll(ends);
+        ends &= ends - 1;
+        int s = __builtin_ctzll(starts);
+        starts &= starts - 1;
+        int len = e - s + 1;
+        if (len >= 2) {                   // single zeros stay literal
+          EmitLits(blk_ + lit_start_, blk_ + k + s);
+          uint32_t extra;
+          int ebits;
+          int sym = RunSymbol(len, &extra, &ebits);
+          uint64_t enc = fused_[sym];
+          int nb = static_cast<int>(enc >> 56);
+          Put((enc & kMask56) | (static_cast<uint64_t>(extra) << nb),
+              nb + ebits);
+          lit_start_ = k + s + len;
+        }
+      }
+      if (starts) {                       // open run into the next chunk
+        int s = __builtin_ctzll(starts);
+        run_begin_ = k + s;
+        cur_zrun_ = 64 - s;
+      } else {
+        cur_zrun_ = 0;
       }
     }
 #elif HIMG_HAVE_SSE2
@@ -1671,42 +1728,67 @@ int64_t he_compress_assisted(const uint8_t *in, int64_t in_size,
   BuildFused2(fused, fused2.data());
   pt.lap(kPhTree, "tree");
 
-  // Sequential fused scan+pack.  scratch takes the packer's output (it
-  // spills 8 bytes past its cursor); replay mirrors the reference's
-  // reused serialization buffer for the stale-bit quirk: block b's
-  // trailing partial byte exposes the latest earlier block's byte at the
-  // same scratch index.
-  const int64_t max_packed = 8 * block_size + 16;
-  std::vector<uint8_t> scratch(static_cast<size_t>(max_packed) + 16, 0);
-  std::vector<uint8_t> replay(static_cast<size_t>(max_packed) + 1, 0);
+  // Sequential fused scan+pack, written DIRECTLY into `out` (the old
+  // scratch+replay formulation copied every packed byte twice more;
+  // interleaved A/B min-of-12: 17.6 -> 16.9 ms/frame).  The stale-bit
+  // quirk needs, for block b's trailing partial byte at block-relative
+  // index i, the byte the reference's reused serialization buffer would
+  // still hold there: the latest earlier block whose payload covered
+  // index i (else 0, the buffer's initial fill).  Payload bytes of
+  // earlier blocks are final in `out` (their own trailing byte already
+  // merged), so a backward scan over the recorded (offset, size) pairs
+  // reproduces the replay buffer exactly -- almost always hitting block
+  // b-1 on the first probe.
+  //
+  // (Negative result, same A/B harness: restructuring PackTokenizer as
+  // a free function with local state + nested by-reference lambdas was
+  // 20% SLOWER than the member-state class -- the closure chain
+  // close_run->emit_lits->put defeats register allocation where the
+  // class methods do not.  Don't retry.)
+  std::vector<int64_t> boff(static_cast<size_t>(n_blocks));
+  std::vector<int64_t> bpacked(static_cast<size_t>(n_blocks));
   for (int64_t b = 0; b < n_blocks; ++b) {
-    PackTokenizer ptk(in + b * block_size, fused, fused2.data(),
-                      scratch.data());
+    // Worst case: every input byte takes a full-depth code (<= 64 bits,
+    // he_max_compressed_size's 8x bound) + prefix + 8-byte spill slack.
+    if (cursor + 4 + 8 * block_size + 16 > out_cap) return -1;
+    // Pack optimistically at the 2-byte-prefix position; a >0x7FFF
+    // payload (incompressible content) shifts by 2 afterwards.
+    int64_t prefix = use_blocks ? 2 : 0;
+    uint8_t *dst = out + cursor + prefix;
+    PackTokenizer ptk(in + b * block_size, fused, fused2.data(), dst);
     int64_t bits = ptk.Run(block_size);
     int64_t packed = (bits + 7) / 8;
+    if (use_blocks && packed > 0x7FFF) {
+      std::memmove(dst + 2, dst, static_cast<size_t>(packed));
+      dst += 2;
+      prefix = 4;
+    }
     int rem = static_cast<int>(bits & 7);
     if (rem) {
+      uint8_t stale = 0;
+      int64_t i = packed - 1;
+      for (int64_t j = b - 1; j >= 0; --j) {
+        if (bpacked[j] > i) { stale = out[boff[j] + i]; break; }
+      }
       uint8_t mask = static_cast<uint8_t>((1u << rem) - 1);
-      scratch[packed - 1] = static_cast<uint8_t>(
-          (scratch[packed - 1] & mask) | (replay[packed - 1] & ~mask));
+      dst[packed - 1] = static_cast<uint8_t>(
+          (dst[packed - 1] & mask) | (stale & ~mask));
     }
-    int64_t prefix = use_blocks ? (packed <= 0x7FFF ? 2 : 4) : 0;
-    if (cursor + prefix + packed + 8 > out_cap) return -1;
-    uint8_t *dst = out + cursor;
     if (use_blocks) {
+      uint8_t *pre = out + cursor;
       if (prefix == 2) {
-        dst[0] = static_cast<uint8_t>(packed);
-        dst[1] = static_cast<uint8_t>(packed >> 8);
+        pre[0] = static_cast<uint8_t>(packed);
+        pre[1] = static_cast<uint8_t>(packed >> 8);
       } else {
         uint32_t lo = static_cast<uint32_t>((packed & 0x7FFF) | 0x8000);
-        dst[0] = static_cast<uint8_t>(lo);
-        dst[1] = static_cast<uint8_t>(lo >> 8);
-        dst[2] = static_cast<uint8_t>(packed >> 15);
-        dst[3] = static_cast<uint8_t>(packed >> 23);
+        pre[0] = static_cast<uint8_t>(lo);
+        pre[1] = static_cast<uint8_t>(lo >> 8);
+        pre[2] = static_cast<uint8_t>(packed >> 15);
+        pre[3] = static_cast<uint8_t>(packed >> 23);
       }
     }
-    std::memcpy(dst + prefix, scratch.data(), static_cast<size_t>(packed));
-    std::memcpy(replay.data(), scratch.data(), static_cast<size_t>(packed));
+    boff[b] = cursor + prefix;
+    bpacked[b] = packed;
     cursor += prefix + packed;
   }
   pt.lap(kPhPack, "scan+pack");
