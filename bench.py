@@ -155,17 +155,30 @@ def main():
     from himg_tpu.pipeline.encode import assemble_container
     from himg_tpu.pipeline.decode import parse_container
     hist_h = np.asarray(codec._hist(fres_dev)).astype(np.int64)  # warm
+    # Host wall-clock on this box swings 2x between minute-scale steal
+    # windows; a fixed best-of-3 can land entirely inside a bad minute.
+    # Take more attempts, and when the spread says the window is
+    # contended, sleep past it before the extra attempts.
     ent_enc = ent_dec = 1e9
-    for _ in range(3):
+    samples = []
+    for attempt in range(6):
         t0 = time.perf_counter()
         hist_h = np.asarray(codec._hist(fres_dev)).astype(np.int64)
         blobs = [assemble_container(W, H, C, codec.tables, pred[i], delta[i],
                                     fres_h[i], fres_hist=hist_h[i])
                  for i in range(BATCH)]
-        ent_enc = min(ent_enc, time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        samples.append(dt)
+        ent_enc = min(ent_enc, dt)
         t0 = time.perf_counter()
         parsed = [parse_container(b) for b in blobs]
         ent_dec = min(ent_dec, time.perf_counter() - t0)
+        if attempt == 2:
+            if max(samples) / min(samples) < 1.25:
+                break  # quiet window, best-of-3 is trustworthy
+            log(f"entropy stage: contended window "
+                f"(spread {max(samples)/min(samples):.2f}x), waiting it out")
+            time.sleep(20)
     ent_rt = pix / (ent_enc + ent_dec) / 1e6
     ratio = sum(len(b) for b in blobs) / (pix * C)
     log(f"entropy stage: enc {ent_enc*1000:.0f} ms, dec {ent_dec*1000:.0f} ms"
