@@ -1273,8 +1273,9 @@ inline void PackBlock(const uint8_t *blk, const Seg *segs, int64_t n_segs,
 class PackTokenizer {
  public:
   PackTokenizer(const uint8_t *blk, const uint64_t *fused,
-                const uint64_t *fused2, uint8_t *dst)
-      : blk_(blk), fused_(fused), fused2_(fused2), dst_(dst), p_(dst) {}
+                const uint64_t *fused2, const uint64_t *runlut, uint8_t *dst)
+      : blk_(blk), fused_(fused), fused2_(fused2), runlut_(runlut),
+        dst_(dst), p_(dst) {}
 
   int64_t Run(int64_t block_size) {
     int64_t k = 0;
@@ -1324,13 +1325,8 @@ class PackTokenizer {
         int len = e - s + 1;
         if (len >= 2) {                   // single zeros stay literal
           EmitLits(blk_ + lit_start_, blk_ + k + s);
-          uint32_t extra;
-          int ebits;
-          int sym = RunSymbol(len, &extra, &ebits);
-          uint64_t enc = fused_[sym];
-          int nb = static_cast<int>(enc >> 56);
-          Put((enc & kMask56) | (static_cast<uint64_t>(extra) << nb),
-              nb + ebits);
+          uint64_t enc = runlut_[len];    // code|extra pre-combined
+          Put(enc & kMask56, static_cast<int>(enc >> 56));
           lit_start_ = k + s + len;
         }
       }
@@ -1458,6 +1454,7 @@ class PackTokenizer {
   const uint8_t *blk_;
   const uint64_t *fused_;
   const uint64_t *fused2_;
+  const uint64_t *runlut_;
   uint8_t *dst_;
   uint8_t *p_;
   uint64_t acc_ = 0;
@@ -1726,6 +1723,19 @@ int64_t he_compress_assisted(const uint8_t *in, int64_t in_size,
                (static_cast<uint64_t>(table.bits[s]) << 56);
   std::vector<uint64_t> fused2(65536);
   BuildFused2(fused, fused2.data());
+  // Local-run payload LUT (len 2..64): code and extra bits pre-combined
+  // into one Put payload, killing RunSymbol's class-branch chain in the
+  // hot walk.  nb <= 42 (CodeDepthOk) + ebits <= 8 at len <= 64 fits 56.
+  uint64_t runlut[65] = {0};
+  for (int len = 2; len <= 64; ++len) {
+    uint32_t extra;
+    int ebits;
+    int sym = RunSymbol(len, &extra, &ebits);
+    uint64_t e = fused[sym];
+    int nb = static_cast<int>(e >> 56);
+    runlut[len] = (e & kMask56) | (static_cast<uint64_t>(extra) << nb) |
+                  (static_cast<uint64_t>(nb + ebits) << 56);
+  }
   pt.lap(kPhTree, "tree");
 
   // Sequential fused scan+pack, written DIRECTLY into `out` (the old
@@ -1755,7 +1765,8 @@ int64_t he_compress_assisted(const uint8_t *in, int64_t in_size,
     // payload (incompressible content) shifts by 2 afterwards.
     int64_t prefix = use_blocks ? 2 : 0;
     uint8_t *dst = out + cursor + prefix;
-    PackTokenizer ptk(in + b * block_size, fused, fused2.data(), dst);
+    PackTokenizer ptk(in + b * block_size, fused, fused2.data(), runlut,
+                      dst);
     int64_t bits = ptk.Run(block_size);
     int64_t packed = (bits + 7) / 8;
     if (use_blocks && packed > 0x7FFF) {
