@@ -174,11 +174,13 @@ def main():
         parsed = [parse_container(b) for b in blobs]
         ent_dec = min(ent_dec, time.perf_counter() - t0)
         if attempt == 2:
-            if max(samples) / min(samples) < 1.25:
+            if max(samples) / min(samples) < 1.15:
                 break  # quiet window, best-of-3 is trustworthy
             log(f"entropy stage: contended window "
                 f"(spread {max(samples)/min(samples):.2f}x), waiting it out")
             time.sleep(20)
+        elif attempt == 4 and min(samples[3:]) < 0.97 * min(samples[:3]):
+            time.sleep(15)  # still improving: the bad window is passing
     ent_rt = pix / (ent_enc + ent_dec) / 1e6
     ratio = sum(len(b) for b in blobs) / (pix * C)
     log(f"entropy stage: enc {ent_enc*1000:.0f} ms, dec {ent_dec*1000:.0f} ms"
