@@ -219,3 +219,19 @@ def test_two_channel_parity(oracle_dir, tmp_path):
     assert himg_tpu.encode(img, 50, False) == ref
     assert np.array_equal(himg_tpu.decode(ref),
                           oracle_decode(oracle_dir, ref, tmp_path))
+
+
+def test_batch_codec_rejects_mismatched_inputs():
+    """Input validation must raise, not assert (stripped under -O) or
+    silently mis-encode: wrong frame geometry/dtype on encode, blobs of a
+    different geometry on decode."""
+    from himg_tpu.pipeline.batch import BatchCodec
+    codec = BatchCodec(16, 24, 3, 50, True, chunk=2, pixel_format="packed")
+    with pytest.raises((ValueError, TypeError)):
+        codec.encode_batch(np.zeros((2, 16, 24, 3), np.uint8))  # hwc to packed
+    with pytest.raises((ValueError, TypeError)):
+        codec.encode_batch(np.zeros((2, 8, 24), np.uint32))  # wrong geometry
+    other = BatchCodec(24, 16, 3, 50, True, chunk=2, pixel_format="packed")
+    blobs = other.encode_batch(np.zeros((2, 24, 16), np.uint32))
+    with pytest.raises(ValueError, match="geometry"):
+        codec.decode_batch(blobs)
