@@ -50,7 +50,11 @@ namespace {
 // HIMG_ENTROPY_PROFILE is set.
 enum Phase { kPhTokenize, kPhTree, kPhPack, kPhFixup, kPhTreeLut, kPhDecode,
              kPhCount };
-double g_phase_ms[kPhCount];
+// thread_local: BatchCodec's host_threads pool runs codec calls
+// concurrently; a shared slot array would be a data race.  The receipts
+// reader (he_last_phase_ms, microbench) is single-threaded and reads its
+// own thread's last call.
+thread_local double g_phase_ms[kPhCount];
 
 struct PhaseTimer {
   bool on = std::getenv("HIMG_ENTROPY_PROFILE") != nullptr;
@@ -794,7 +798,17 @@ bool DecodeGroupSimd(const Decoder &d, const uint8_t *in, int64_t in_total,
   };
 
   // Initial refill: every lane starts empty (fill 0 -> claim 7 bytes).
+  // Lanes whose 8-byte read-ahead would leave the input buffer (a tiny
+  // final substream near the buffer end) go scalar immediately -- the
+  // in-loop gathers have the same guard, but this first one must not
+  // touch memory before it is applied (the chunk payload is a zero-copy
+  // view whose end is the end of the container bytes).
   {
+    __mmask8 moob = _mm512_mask_cmpgt_epi64_mask(
+        active, _mm512_add_epi64(pos, _mm512_set1_epi64(8)),
+        _mm512_set1_epi64(in_total));
+    if (moob && !retire(moob)) return false;
+    if (!active) return true;
     __m512i w = _mm512_mask_i64gather_epi64(
         _mm512_setzero_si512(), active, pos, in, 1);
     acc = _mm512_sllv_epi64(w, fill);  // fill == 0

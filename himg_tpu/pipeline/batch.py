@@ -166,8 +166,12 @@ class BatchCodec:
         # host skip its entropy analysis pass (native.compress_assisted).
         # A separate program chained on _enc's output: its cost belongs to
         # the entropy stage, not the transform stage (bench.py accounting).
+        # Without the native backend the histogram is unused (compress_py
+        # retokenizes), so skip the device pass entirely.
+        from ..entropy import native as _native
         from ..entropy.device_hist import frame_histograms
         block = self.cols * c * 64
+        self._use_hist = _native.available()
         self._hist = jax.jit(lambda fres: frame_histograms(
             fres.reshape(fres.shape[0], -1), block))
 
@@ -214,13 +218,14 @@ class BatchCodec:
         def entropy_stage(small_dev, fres_dev, hist_dev, nb):
             small = np.asarray(small_dev).reshape(nb, self._small)
             fres = np.asarray(fres_dev).reshape(nb, -1)
-            hists = np.asarray(hist_dev).astype(np.int64)
+            hists = (np.asarray(hist_dev).astype(np.int64)
+                     if hist_dev is not None else None)
 
             def one(i):
                 pred, delta, fr = self._image_views(small[i], fres[i])
-                return assemble_container(self.w, self.h, self.c,
-                                          self.tables, pred, delta, fr,
-                                          fres_hist=hists[i])
+                return assemble_container(
+                    self.w, self.h, self.c, self.tables, pred, delta, fr,
+                    fres_hist=None if hists is None else hists[i])
             if self.host_threads > 1:
                 with ThreadPoolExecutor(self.host_threads) as frame_pool:
                     return list(frame_pool.map(one, range(nb)))
@@ -231,7 +236,7 @@ class BatchCodec:
             pending = None
             for ch in chunks:
                 small, fres = self._enc(jnp.asarray(ch), *targs)  # async
-                hists = self._hist(fres)
+                hists = self._hist(fres) if self._use_hist else None
                 if pending is not None:
                     blobs.extend(pending.result())
                 pending = pool.submit(entropy_stage, small, fres, hists,

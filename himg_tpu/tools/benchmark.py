@@ -89,16 +89,19 @@ def main(argv=None) -> int:
         from PIL import Image
         img = Image.fromarray(himg_tpu.decode(buffer).squeeze())
         lo, hi = 1, 95
-        jbuf = None
         while lo < hi:
             mid = (lo + hi) // 2
             b = io.BytesIO()
             img.save(b, format="JPEG", quality=mid)
-            jbuf = b.getvalue()
-            if len(jbuf) < len(buffer):
+            if len(b.getvalue()) < len(buffer):
                 lo = mid + 1
             else:
                 hi = mid
+        # Re-encode at the converged quality: the last probe inside the
+        # loop can be one step below it (the lo = mid + 1 branch).
+        b = io.BytesIO()
+        img.save(b, format="JPEG", quality=lo)
+        jbuf = b.getvalue()
         jt = 0.0
         for _ in range(NUM_ITERATIONS):
             t0 = time.perf_counter()

@@ -211,3 +211,39 @@ def test_native_fuzz_contained():
             native.decompress(bytes(buf), 4096, 64)
         except ValueError:
             pass
+
+
+def test_simd_decode_tiny_final_substreams_guard_page():
+    """Regression: the SIMD group decoder's initial 8-byte read-ahead
+    must not read past the input buffer when the final substreams are
+    tiny (their spans start within 7 bytes of the buffer end).  The blob
+    is placed flush against a PROT_NONE page so an over-read segfaults
+    instead of passing silently (production hands the decoder zero-copy
+    views whose end is the end of the container bytes)."""
+    import ctypes
+    import mmap
+    from himg_tpu.entropy import native
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    bs, nb = 4096, 16  # a multiple of 8 so the last block is in a group
+    data = np.zeros(bs * nb, np.uint8)
+    data[:bs * 8] = np.random.default_rng(1).integers(
+        0, 256, bs * 8, np.uint8)  # noisy half, then all-zero (tiny) half
+    comp = native.compress(data, bs)
+    page = mmap.PAGESIZE
+    npages = -(-len(comp) // page) + 1
+    buf = mmap.mmap(-1, npages * page)
+    addr = ctypes.addressof(ctypes.c_char.from_buffer(buf))
+    start = (npages - 1) * page - len(comp)
+    buf[start:start + len(comp)] = comp
+    libc = ctypes.CDLL("libc.so.6", use_errno=True)
+    assert libc.mprotect(ctypes.c_void_p(addr + (npages - 1) * page),
+                         page, 0) == 0  # PROT_NONE
+    try:
+        view = (ctypes.c_char * len(comp)).from_buffer(buf, start)
+        out = native.decompress(memoryview(view), data.size, bs, 1)
+        assert np.array_equal(out, data)
+    finally:
+        libc.mprotect(ctypes.c_void_p(addr + (npages - 1) * page),
+                      page, 3)  # PROT_READ|WRITE so munmap/gc is safe
+        del view
