@@ -184,6 +184,43 @@ def test_native_tokenizer_edge_cases():
         assert np.array_equal(out, d)
 
 
+def test_assisted_tokenizer_single_zero_edges():
+    """PackTokenizer's single-zero mask pre-filter corners: lone zeros at
+    every position of a 64-byte chunk (incl. bit 63, whose end bit is
+    cleared by the open-run rule, and bit 0 continuing an open run),
+    singles adjacent to emittable runs, and dense alternation -- the
+    assisted single-pass path must stay byte-identical to he_compress,
+    whose two-pass tokenizer pins the reference bits."""
+    from himg_tpu.entropy import native
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    cases = []
+    for off in range(0, 64):  # lone zero at every bit of the first chunk
+        d = np.full(192, 5, np.uint8)
+        d[off] = 0
+        cases.append(d)
+    for off in (0, 1, 62, 63, 64):  # single right after a 64+ zero run
+        d = np.full(256, 9, np.uint8)
+        d[16:80] = 0          # open run spanning a chunk border
+        d[96 + off] = 0       # lone zero later in the stream
+        cases.append(d)
+    d = np.full(256, 3, np.uint8)
+    d[10:12] = 0   # emittable run
+    d[13] = 0      # single immediately after (one literal between)
+    d[15:18] = 0   # another run
+    d[19] = 0
+    cases.append(d)
+    alt = np.zeros(512, np.uint8)
+    alt[::2] = 7   # every zero is a single: filter strips the whole mask
+    cases.append(alt)
+    for d in cases:
+        hist = native.histogram(d, d.size)
+        assert np.array_equal(native.compress_assisted(d, d.size, hist),
+                              native.compress(d, d.size))
+        blob = native.compress_assisted(d, d.size, hist)
+        assert np.array_equal(native.decompress(blob, d.size, 0), d)
+
+
 def test_python_fallback_roundtrip(monkeypatch):
     """HIMG_NATIVE=0 must route through the NumPy/Python spec paths."""
     import himg_tpu.entropy.native as native_mod
