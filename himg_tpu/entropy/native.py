@@ -168,6 +168,9 @@ def decompress(data, out_size: int, block_size: int,
     the container layer hands over zero-copy views of the stream."""
     lib = _load()
     src = np.frombuffer(data, dtype=np.uint8)  # zero-copy
+    # (Measured, not a lever: replacing the codec's pre-zeroing memset
+    # with np.zeros + a skip flag is +0.6% -- the memset is 0.26 ms/frame
+    # and calloc memsets reused arena chunks anyway.)
     out = np.empty(out_size, dtype=np.uint8)
     rc = lib.he_decompress(src.ctypes.data, src.size, block_size,
                            out.ctypes.data, out_size, n_threads)

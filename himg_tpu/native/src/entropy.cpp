@@ -1978,6 +1978,9 @@ int32_t he_decompress(const uint8_t *in, int64_t in_size, int64_t block_size,
         block_size > 4 * kSimdTail)
       n_groups = n_blocks / 8;
   }
+  // (Measured, not a lever: this memset is 0.26 ms/frame, and letting a
+  // caller-side np.zeros replace it is +0.6% -- calloc memsets reused
+  // arena chunks anyway.)
   if (n_groups > 0) std::memset(out, 0, static_cast<size_t>(out_size));
 #endif
   const int64_t first_scalar = n_groups * 8;
