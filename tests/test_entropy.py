@@ -221,6 +221,69 @@ def test_assisted_tokenizer_single_zero_edges():
         assert np.array_equal(native.decompress(blob, d.size, 0), d)
 
 
+def test_sse2_fallback_build_byte_identical(tmp_path):
+    """The SSE2 walk (non-AVX512 hosts) is dead code on this machine's
+    default -march=native build; compile it explicitly and byte-check
+    compress/assisted/decompress against the default build so the
+    fallback cannot rot silently."""
+    import ctypes
+    import shutil
+    import subprocess
+    from himg_tpu.entropy import native
+    from himg_tpu.native.build import SRC
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    if shutil.which("g++") is None:
+        pytest.skip("g++ unavailable")
+    lib_path = tmp_path / "libhimg_entropy_sse2.so"
+    subprocess.run(
+        ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-march=native",
+         "-mno-avx512f", "-mno-avx512bw", "-o", str(lib_path), str(SRC),
+         "-lpthread"], check=True, capture_output=True, timeout=300)
+    lib = ctypes.CDLL(str(lib_path))
+    lib.he_max_compressed_size.restype = ctypes.c_int64
+    lib.he_max_compressed_size.argtypes = [ctypes.c_int64, ctypes.c_int64]
+    lib.he_compress.restype = ctypes.c_int64
+    lib.he_compress.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                ctypes.c_int64, ctypes.c_void_p,
+                                ctypes.c_int64]
+    lib.he_compress_assisted.restype = ctypes.c_int64
+    lib.he_compress_assisted.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.he_decompress.restype = ctypes.c_int32
+    lib.he_decompress.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32]
+
+    cases = [(_data(8192, zf, seed=3), 512) for zf in (0.0, 0.6, 0.95, 1.0)]
+    d = np.full(300, 5, np.uint8)
+    d[17] = 0          # single zero
+    d[40:120] = 0      # run across chunk borders
+    d[121] = 0
+    cases.append((d, 0))
+    for data, bs in cases:
+        eff = bs if bs else data.size
+        ref = native.compress(data, eff)
+        cap = lib.he_max_compressed_size(data.size, eff)
+        out = np.empty(cap, np.uint8)
+        sz = lib.he_compress(data.ctypes.data_as(ctypes.c_char_p),
+                             data.size, eff, out.ctypes.data, cap)
+        assert bytes(out[:sz]) == ref
+        hist = native.histogram(data, eff)
+        h64 = np.ascontiguousarray(hist, np.int64)
+        sz2 = lib.he_compress_assisted(
+            data.ctypes.data_as(ctypes.c_char_p), data.size, eff,
+            h64.ctypes.data, out.ctypes.data, cap)
+        assert bytes(out[:sz2]) == ref
+        src = np.frombuffer(ref, np.uint8)
+        dec = np.empty(data.size, np.uint8)
+        rc = lib.he_decompress(src.ctypes.data, src.size,
+                               bs if 0 < bs < data.size else 0,
+                               dec.ctypes.data, data.size, 1)
+        assert rc == 0 and np.array_equal(dec, data)
+
+
 def test_python_fallback_roundtrip(monkeypatch):
     """HIMG_NATIVE=0 must route through the NumPy/Python spec paths."""
     import himg_tpu.entropy.native as native_mod
