@@ -1138,28 +1138,52 @@ inline void TokenizeBlock(const uint8_t *blk, int64_t block_size,
       continue;
     }
     // Mixed chunk: histogram everything (zeros corrected later), then
-    // walk the zero mask's bit runs.
+    // the same branch-reduced walk + single-zero pre-filter as the
+    // AVX-512 path above, on 16-bit masks (byte-checked against the
+    // default build by tests/test_entropy.py's SSE2-build test).
     HistChunk(h4, blk + k, 2);
     int pc = __builtin_popcount(m);
     zeros_hist += pc;
     zeros_all += pc;
-    // Open run from the previous chunk ends here unless bit 0 is set.
-    if (st.cur_zrun && !(m & 1)) st.CloseRun();
-    uint32_t mm = m;
-    while (mm) {
-      int s = __builtin_ctz(mm);
-      uint32_t tail = mm >> s;
-      int r = tail == 0xFFFFFFFFu ? 32 : __builtin_ctz(~tail);
-      if (s == 0 && st.cur_zrun) {
-        st.cur_zrun += r;               // continuation across the border
+    uint32_t starts = m & ~(m << 1);
+    uint32_t ends = m & ~(m >> 1);
+    if (m >> 15) ends &= ~(1u << 15);
+    if (st.cur_zrun) {
+      if (m & 1) {                      // continuation closes here
+        int e = __builtin_ctz(~m);
+        st.cur_zrun += e;
+        st.CloseRun();
+        starts &= starts - 1;           // its start bit (bit 0)
+        ends &= ends - 1;               // its end bit (at e-1)
       } else {
-        if (st.cur_zrun) st.CloseRun();
-        st.run_begin = k + s;
-        st.cur_zrun = r;
+        st.CloseRun();
       }
-      if (s + r >= 16) break;           // run reaches the chunk end
-      st.CloseRun();                    // run ended inside the chunk
-      mm &= ~(((1u << r) - 1) << s);
+    }
+    uint32_t singles = starts & ends;
+    starts ^= singles;
+    ends ^= singles;
+    while (ends) {
+      int e = __builtin_ctz(ends);
+      ends &= ends - 1;
+      int s = __builtin_ctz(starts);
+      starts &= starts - 1;
+      int len = e - s + 1;              // >= 2 by construction
+      uint32_t extra;
+      int ebits;
+      int sym = RunSymbol(len, &extra, &ebits);
+      st.hist[sym]++;
+      st.extra_total += ebits;
+      *st.sp++ = {static_cast<uint32_t>(k + s - st.lit_start),
+                  static_cast<uint32_t>(len)};
+      st.lit_start = k + s + len;
+      st.run_zeros += len;
+    }
+    if (starts) {                       // open run into the next chunk
+      int s = __builtin_ctz(starts);
+      st.run_begin = k + s;
+      st.cur_zrun = 16 - s;
+    } else {
+      st.cur_zrun = 0;
     }
   }
 #endif  // HIMG_HAVE_SSE2
@@ -1377,22 +1401,43 @@ class PackTokenizer {
         cur_zrun_ += 16;
         continue;
       }
-      if (cur_zrun_ && !(m & 1)) CloseRun();
-      uint32_t mm = m;
-      while (mm) {
-        int s = __builtin_ctz(mm);
-        uint32_t tail = mm >> s;
-        int r = tail == 0xFFFFFFFFu ? 32 : __builtin_ctz(~tail);
-        if (s == 0 && cur_zrun_) {
-          cur_zrun_ += r;
+      // Same branch-reduced walk + single-zero pre-filter as the
+      // AVX-512 path, on 16-bit masks (byte-checked by the SSE2-build
+      // test).
+      uint32_t starts = m & ~(m << 1);
+      uint32_t ends = m & ~(m >> 1);
+      if (m >> 15) ends &= ~(1u << 15);
+      if (cur_zrun_) {
+        if (m & 1) {                      // continuation closes here
+          int e = __builtin_ctz(~m);
+          cur_zrun_ += e;
+          CloseRun();
+          starts &= starts - 1;           // its start bit (bit 0)
+          ends &= ends - 1;               // its end bit (at e-1)
         } else {
-          if (cur_zrun_) CloseRun();
-          run_begin_ = k + s;
-          cur_zrun_ = r;
+          CloseRun();
         }
-        if (s + r >= 16) break;
-        CloseRun();
-        mm &= ~(((1u << r) - 1) << s);
+      }
+      uint32_t singles = starts & ends;
+      starts ^= singles;
+      ends ^= singles;
+      while (ends) {
+        int e = __builtin_ctz(ends);
+        ends &= ends - 1;
+        int s = __builtin_ctz(starts);
+        starts &= starts - 1;
+        int len = e - s + 1;              // >= 2 by construction
+        EmitLits(blk_ + lit_start_, blk_ + k + s);
+        uint64_t enc = runlut_[len];      // code|extra pre-combined
+        Put(enc & kMask56, static_cast<int>(enc >> 56));
+        lit_start_ = k + s + len;
+      }
+      if (starts) {                       // open run into the next chunk
+        int s = __builtin_ctz(starts);
+        run_begin_ = k + s;
+        cur_zrun_ = 16 - s;
+      } else {
+        cur_zrun_ = 0;
       }
     }
 #endif
