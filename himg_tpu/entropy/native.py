@@ -32,6 +32,15 @@ def _load():
         lib = ctypes.CDLL(str(path))
     except OSError:
         return None
+    bind_prototypes(lib)
+    _lib = lib
+    return _lib
+
+
+def bind_prototypes(lib) -> None:
+    """Declare the codec's C ABI on a loaded library handle.  The single
+    source of truth for every export's signature -- also used by tests
+    that load alternative builds (e.g. the SSE2-only fallback)."""
     lib.he_max_compressed_size.restype = ctypes.c_int64
     lib.he_max_compressed_size.argtypes = [ctypes.c_int64, ctypes.c_int64]
     lib.he_compress.restype = ctypes.c_int64
@@ -56,8 +65,6 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
     lib.he_last_phase_ms.restype = None
     lib.he_last_phase_ms.argtypes = [ctypes.c_void_p]
-    _lib = lib
-    return _lib
 
 
 def available() -> bool:

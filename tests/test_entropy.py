@@ -215,9 +215,8 @@ def test_assisted_tokenizer_single_zero_edges():
     cases.append(alt)
     for d in cases:
         hist = native.histogram(d, d.size)
-        assert np.array_equal(native.compress_assisted(d, d.size, hist),
-                              native.compress(d, d.size))
         blob = native.compress_assisted(d, d.size, hist)
+        assert blob == native.compress(d, d.size)
         assert np.array_equal(native.decompress(blob, d.size, 0), d)
 
 
@@ -236,25 +235,19 @@ def test_sse2_fallback_build_byte_identical(tmp_path):
     if shutil.which("g++") is None:
         pytest.skip("g++ unavailable")
     lib_path = tmp_path / "libhimg_entropy_sse2.so"
-    subprocess.run(
-        ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-march=native",
-         "-mno-avx512f", "-mno-avx512bw", "-o", str(lib_path), str(SRC),
-         "-lpthread"], check=True, capture_output=True, timeout=300)
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+             "-march=native", "-mno-avx512f", "-mno-avx512bw",
+             "-o", str(lib_path), str(SRC), "-lpthread"],
+            check=True, capture_output=True, timeout=300)
+    except subprocess.CalledProcessError as e:
+        # Non-x86 hosts reject the -mno-avx512* flags; that is the
+        # portability case, not a failure of the walk under test.
+        pytest.skip(f"SSE2-only build unavailable: {e.stderr.decode()!r}")
     lib = ctypes.CDLL(str(lib_path))
-    lib.he_max_compressed_size.restype = ctypes.c_int64
-    lib.he_max_compressed_size.argtypes = [ctypes.c_int64, ctypes.c_int64]
-    lib.he_compress.restype = ctypes.c_int64
-    lib.he_compress.argtypes = [ctypes.c_char_p, ctypes.c_int64,
-                                ctypes.c_int64, ctypes.c_void_p,
-                                ctypes.c_int64]
-    lib.he_compress_assisted.restype = ctypes.c_int64
-    lib.he_compress_assisted.argtypes = [
-        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
-    lib.he_decompress.restype = ctypes.c_int32
-    lib.he_decompress.argtypes = [
-        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32]
+    from himg_tpu.entropy.native import bind_prototypes
+    bind_prototypes(lib)
 
     cases = [(_data(8192, zf, seed=3), 512) for zf in (0.0, 0.6, 0.95, 1.0)]
     d = np.full(300, 5, np.uint8)
