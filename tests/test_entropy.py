@@ -220,6 +220,24 @@ def test_assisted_tokenizer_single_zero_edges():
         assert np.array_equal(native.decompress(blob, d.size, 0), d)
 
 
+def test_simd_decode_kill_switch_identical(monkeypatch):
+    """HIMG_SIMD_DECODE=0 routes through the scalar substream loop; both
+    decoders must produce identical output on content that engages the
+    SIMD group path (>= 8 substreams, block_size past the retire window)."""
+    from himg_tpu.entropy import native
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    for zf, seed in ((0.3, 1), (0.8, 2), (0.97, 3)):
+        data = _data(65536, zf, seed=seed)
+        blob = native.compress(data, 2048)
+        simd = native.decompress(blob, data.size, 2048)
+        monkeypatch.setenv("HIMG_SIMD_DECODE", "0")
+        scalar = native.decompress(blob, data.size, 2048)
+        monkeypatch.delenv("HIMG_SIMD_DECODE")
+        assert np.array_equal(simd, scalar)
+        assert np.array_equal(simd, data)
+
+
 def test_sse2_fallback_build_byte_identical(tmp_path):
     """The SSE2 walk (non-AVX512 hosts) is dead code on this machine's
     default -march=native build; compile it explicitly and byte-check
