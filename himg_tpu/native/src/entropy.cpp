@@ -35,10 +35,13 @@
 #include <thread>
 #include <vector>
 
-#if defined(__AVX512BW__)
+// HIMG_FORCE_SCALAR disables all SIMD paths (tests build this variant to
+// byte-check the scalar tail loops, which otherwise only run on block
+// remainders).
+#if defined(__AVX512BW__) && !defined(HIMG_FORCE_SCALAR)
 #include <immintrin.h>
 #define HIMG_HAVE_AVX512BW 1
-#elif defined(__SSE2__)
+#elif defined(__SSE2__) && !defined(HIMG_FORCE_SCALAR)
 #include <emmintrin.h>
 #define HIMG_HAVE_SSE2 1
 #endif

@@ -238,11 +238,15 @@ def test_simd_decode_kill_switch_identical(monkeypatch):
         assert np.array_equal(simd, data)
 
 
-def test_sse2_fallback_build_byte_identical(tmp_path):
-    """The SSE2 walk (non-AVX512 hosts) is dead code on this machine's
-    default -march=native build; compile it explicitly and byte-check
-    compress/assisted/decompress against the default build so the
-    fallback cannot rot silently."""
+@pytest.mark.parametrize("variant,extra_flags", [
+    ("sse2", ["-mno-avx512f", "-mno-avx512bw"]),
+    ("scalar", ["-DHIMG_FORCE_SCALAR"]),
+])
+def test_fallback_build_byte_identical(tmp_path, variant, extra_flags):
+    """The SSE2 walk (non-AVX512 hosts) and the pure-scalar loops (no-SIMD
+    builds) are dead code on this machine's default -march=native build;
+    compile each explicitly and byte-check compress/assisted/decompress
+    against the default build so the fallbacks cannot rot silently."""
     import ctypes
     import shutil
     import subprocess
@@ -252,17 +256,17 @@ def test_sse2_fallback_build_byte_identical(tmp_path):
         pytest.skip("native toolchain unavailable")
     if shutil.which("g++") is None:
         pytest.skip("g++ unavailable")
-    lib_path = tmp_path / "libhimg_entropy_sse2.so"
+    lib_path = tmp_path / f"libhimg_entropy_{variant}.so"
     try:
         subprocess.run(
             ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
-             "-march=native", "-mno-avx512f", "-mno-avx512bw",
+             "-march=native", *extra_flags,
              "-o", str(lib_path), str(SRC), "-lpthread"],
             check=True, capture_output=True, timeout=300)
     except subprocess.CalledProcessError as e:
         # Non-x86 hosts reject the -mno-avx512* flags; that is the
         # portability case, not a failure of the walk under test.
-        pytest.skip(f"SSE2-only build unavailable: {e.stderr.decode()!r}")
+        pytest.skip(f"{variant} build unavailable: {e.stderr.decode()!r}")
     lib = ctypes.CDLL(str(lib_path))
     from himg_tpu.entropy.native import bind_prototypes
     bind_prototypes(lib)
