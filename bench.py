@@ -90,9 +90,26 @@ def main():
         ref = FALLBACK_REF_MPIX_S
         log(f"reference unavailable; using recorded {ref} MPix/s")
 
+    # Watchdog: device init blocks indefinitely when the axon tunnel is
+    # down (observed: whole-session outages); log progress markers so a
+    # hung run is diagnosable from the driver's stderr capture.
+    import threading
+    init_done = threading.Event()
+
+    def _watchdog():
+        waited = 0
+        while not init_done.wait(120):
+            waited += 2
+            log(f"still initializing the device runtime after {waited} min "
+                "(axon tunnel may be down)")
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
     from himg_tpu.pipeline.batch import BatchCodec
+    jax.devices()
+    init_done.set()
+    log("device runtime up")
 
     frames = make_frames()
     # Production path: channel-packed u32 pixels (RGBX order, byte k =
