@@ -20,10 +20,21 @@ vs_baseline compares against the reference C++ codec (single-threaded
 chimg+dhimg equivalent) roundtrip measured on the same host when the
 oracle harness is available, else a recorded measurement from this host
 class.
+
+Resilience: the round-3 driver capture died because a single transient
+``UNAVAILABLE: TPU backend setup/compile error`` at ``jax.devices()``
+aborted the script with no retry (VERDICT.md missing #1).  JAX caches a
+failed backend init for the life of the process, so retrying in-process
+is useless; instead this script re-execs itself (``--inner``) and the
+outer wrapper retries the whole capture with backoff for ~25 minutes.
+If the device backend never comes up, a last-resort degraded capture
+measures the host entropy stage (the sustained bottleneck) on the CPU
+backend and reports it with ``"degraded": true``.
 """
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -44,6 +55,11 @@ QUALITY = 50
 # Reference roundtrip on this host class (1-vCPU tunnel host), measured via
 # tests/oracle: encode 235 ms + decode 80 ms for one 2.09 MPix frame.
 FALLBACK_REF_MPIX_S = 6.0
+
+# Backoff schedule between full-capture retries (outer wrapper).  Sums to
+# ~22 min of sleep; with per-attempt runtime the wrapper gives the axon
+# tunnel roughly half an hour to come back before degrading.
+RETRY_DELAYS_S = (20, 60, 120, 240, 300, 300, 300)
 
 
 def log(msg):
@@ -79,7 +95,47 @@ def measure_reference() -> float:
     return H * W / dt / 1e6
 
 
-def main():
+def measure_entropy_stage(codec, fres_dev, pred, delta, fres_h):
+    """Host entropy roundtrip, best-of-N with contended-window detection.
+
+    Returns (ent_enc, ent_dec, enc_samples, dec_samples, blobs).
+    Host wall-clock on this box swings 2x between minute-scale steal
+    windows; a fixed best-of-3 can land entirely inside a bad minute.
+    Take more attempts, and when the spread says the window is
+    contended, sleep past it before the extra attempts.
+    """
+    from himg_tpu.pipeline.encode import assemble_container
+    from himg_tpu.pipeline.decode import parse_container
+
+    ent_enc = ent_dec = 1e9
+    enc_samples, dec_samples = [], []
+    blobs = None
+    for attempt in range(6):
+        t0 = time.perf_counter()
+        hist_h = np.asarray(codec._hist(fres_dev)).astype(np.int64)
+        blobs = [assemble_container(W, H, C, codec.tables, pred[i], delta[i],
+                                    fres_h[i], fres_hist=hist_h[i])
+                 for i in range(BATCH)]
+        dt = time.perf_counter() - t0
+        enc_samples.append(dt)
+        ent_enc = min(ent_enc, dt)
+        t0 = time.perf_counter()
+        [parse_container(b) for b in blobs]
+        dt = time.perf_counter() - t0
+        dec_samples.append(dt)
+        ent_dec = min(ent_dec, dt)
+        if attempt == 2:
+            if max(enc_samples) / min(enc_samples) < 1.15:
+                break  # quiet window, best-of-3 is trustworthy
+            log(f"entropy stage: contended window (spread "
+                f"{max(enc_samples)/min(enc_samples):.2f}x), waiting it out")
+            time.sleep(20)
+        elif attempt == 4 and min(enc_samples[3:]) < 0.97 * min(enc_samples[:3]):
+            time.sleep(15)  # still improving: the bad window is passing
+    return ent_enc, ent_dec, enc_samples, dec_samples, blobs
+
+
+def inner(degraded: bool):
     # Reference first: the axon client's background threads perturb later
     # host-side timings on this 1-vCPU box, and steal-time noise swings
     # single measurements by 2-5x -- everything below is best-of-N.
@@ -92,7 +148,8 @@ def main():
 
     # Watchdog: device init blocks indefinitely when the axon tunnel is
     # down (observed: whole-session outages); log progress markers so a
-    # hung run is diagnosable from the driver's stderr capture.
+    # hung run is diagnosable from the driver's stderr capture.  (When it
+    # *raises* instead, the outer wrapper's retry loop handles it.)
     import threading
     init_done = threading.Event()
 
@@ -109,7 +166,7 @@ def main():
     from himg_tpu.pipeline.batch import BatchCodec
     jax.devices()
     init_done.set()
-    log("device runtime up")
+    log(f"device runtime up ({jax.default_backend()})")
 
     frames = make_frames()
     # Production path: channel-packed u32 pixels (RGBX order, byte k =
@@ -135,73 +192,60 @@ def main():
     def sync(x):
         np.asarray(x.reshape(-1)[:8])
 
-    n_iter = 4
-    dev_enc = 1e9
-    for _ in range(3):  # best-of-3 guards against tunnel stalls
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            small, fres = codec._enc(frames_dev, *targs)
-        sync(fres)
-        dev_enc = min(dev_enc, (time.perf_counter() - t0) / n_iter)
-
     pred, delta, fres_h = codec._split_outputs(small_h, fres_h_flat, BATCH)
-    dec_args = (jnp.asarray(codec.tables.shift_tables),
-                jnp.asarray(codec.tables.fr_mapper.positive),
-                jnp.asarray(codec.tables.lr_mapper.unmap_lut))
-    small_dev = jax.device_put(small_h)
-    fres_dev = jax.device_put(fres_h)
-    img_dev = codec._dec(small_dev, fres_dev, *dec_args)
-    sync(img_dev)
-    dev_dec = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            img_dev = codec._dec(small_dev, fres_dev, *dec_args)
-        sync(img_dev)
-        dev_dec = min(dev_dec, (time.perf_counter() - t0) / n_iter)
-    dev_rt = pix / (dev_enc + dev_dec) / 1e6
-    log(f"device stage: enc {dev_enc*1000:.0f} ms, dec {dev_dec*1000:.0f} ms"
-        f" -> {dev_rt:.1f} MPix/s roundtrip")
+    dev_rt = 0.0
+    if degraded:
+        # CPU backend stand-in: the device transform stage cannot be
+        # measured (the TPU tunnel stayed down through every retry), so
+        # the sustained figure below is the host entropy stage alone --
+        # which is the production bottleneck (the device stage measured
+        # 7-12x faster on hardware in every driver/builder receipt).
+        log("DEGRADED capture: device stage not measured (no TPU backend); "
+            "sustained = host entropy stage only")
+    else:
+        n_iter = 4
+        dev_enc = 1e9
+        for _ in range(3):  # best-of-3 guards against tunnel stalls
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                small, fres = codec._enc(frames_dev, *targs)
+            sync(fres)
+            dev_enc = min(dev_enc, (time.perf_counter() - t0) / n_iter)
 
-    # ---- stage 2: host entropy roundtrip on the real planes (best of 3).
+        dec_args = (jnp.asarray(codec.tables.shift_tables),
+                    jnp.asarray(codec.tables.fr_mapper.positive),
+                    jnp.asarray(codec.tables.lr_mapper.unmap_lut))
+        small_dev = jax.device_put(small_h)
+        fres_dev2 = jax.device_put(fres_h)
+        img_dev = codec._dec(small_dev, fres_dev2, *dec_args)
+        sync(img_dev)
+        dev_dec = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                img_dev = codec._dec(small_dev, fres_dev2, *dec_args)
+            sync(img_dev)
+            dev_dec = min(dev_dec, (time.perf_counter() - t0) / n_iter)
+        dev_rt = pix / (dev_enc + dev_dec) / 1e6
+        log(f"device stage: enc {dev_enc*1000:.0f} ms, dec {dev_dec*1000:.0f}"
+            f" ms -> {dev_rt:.1f} MPix/s roundtrip")
+
+    # ---- stage 2: host entropy roundtrip on the real planes.
     # The encode side is TPU-assisted: the device computes each frame's
     # exact 261-bin token histogram (entropy/device_hist.py; its dispatch
     # is timed here, where it belongs -- it replaces host analysis work),
     # so the host runs the single-pass fused scan+pack.  Byte identity of
     # the assisted path is pinned by tests/test_parity.py.
-    from himg_tpu.pipeline.encode import assemble_container
-    from himg_tpu.pipeline.decode import parse_container
-    hist_h = np.asarray(codec._hist(fres_dev)).astype(np.int64)  # warm
-    # Host wall-clock on this box swings 2x between minute-scale steal
-    # windows; a fixed best-of-3 can land entirely inside a bad minute.
-    # Take more attempts, and when the spread says the window is
-    # contended, sleep past it before the extra attempts.
-    ent_enc = ent_dec = 1e9
-    samples = []
-    for attempt in range(6):
-        t0 = time.perf_counter()
-        hist_h = np.asarray(codec._hist(fres_dev)).astype(np.int64)
-        blobs = [assemble_container(W, H, C, codec.tables, pred[i], delta[i],
-                                    fres_h[i], fres_hist=hist_h[i])
-                 for i in range(BATCH)]
-        dt = time.perf_counter() - t0
-        samples.append(dt)
-        ent_enc = min(ent_enc, dt)
-        t0 = time.perf_counter()
-        parsed = [parse_container(b) for b in blobs]
-        ent_dec = min(ent_dec, time.perf_counter() - t0)
-        if attempt == 2:
-            if max(samples) / min(samples) < 1.15:
-                break  # quiet window, best-of-3 is trustworthy
-            log(f"entropy stage: contended window "
-                f"(spread {max(samples)/min(samples):.2f}x), waiting it out")
-            time.sleep(20)
-        elif attempt == 4 and min(samples[3:]) < 0.97 * min(samples[:3]):
-            time.sleep(15)  # still improving: the bad window is passing
+    np.asarray(codec._hist(fres))  # warm the histogram program
+    ent_enc, ent_dec, enc_s, dec_s, blobs = measure_entropy_stage(
+        codec, fres, pred, delta, fres_h)
     ent_rt = pix / (ent_enc + ent_dec) / 1e6
+    ent_rt_median = pix / (statistics.median(enc_s)
+                           + statistics.median(dec_s)) / 1e6
     ratio = sum(len(b) for b in blobs) / (pix * C)
     log(f"entropy stage: enc {ent_enc*1000:.0f} ms, dec {ent_dec*1000:.0f} ms"
-        f" -> {ent_rt:.1f} MPix/s roundtrip; ratio {ratio:.3f} B/px")
+        f" -> {ent_rt:.1f} MPix/s roundtrip"
+        f" (median-across-windows {ent_rt_median:.1f}); ratio {ratio:.3f} B/px")
 
     # Correctness spot check through the full path.
     one = codec.decode_batch(blobs[:2])
@@ -209,27 +253,71 @@ def main():
     log(f"roundtrip mean |err| = {err:.2f}")
     assert err < 16, "decoded output quality implausible"
 
-    # ---- strict host-to-host (tunnel-bound; for transparency).
-    # Warm the chunk-sized programs first so compiles stay out of the timing.
-    warm = codec.encode_batch(packed[:codec.chunk])
-    codec.decode_batch(warm)
-    t0 = time.perf_counter()
-    blobs2 = codec.encode_batch(packed)
-    h2h_enc = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    codec.decode_batch(blobs2)
-    h2h_dec = time.perf_counter() - t0
-    log(f"host-to-host (tunnel-bound): enc {h2h_enc:.1f}s, dec {h2h_dec:.1f}s"
-        f" -> {pix/(h2h_enc+h2h_dec)/1e6:.1f} MPix/s")
+    if not degraded:
+        # ---- strict host-to-host (tunnel-bound; for transparency).
+        # Warm chunk-sized programs first so compiles stay out of the timing.
+        warm = codec.encode_batch(packed[:codec.chunk])
+        codec.decode_batch(warm)
+        t0 = time.perf_counter()
+        blobs2 = codec.encode_batch(packed)
+        h2h_enc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        codec.decode_batch(blobs2)
+        h2h_dec = time.perf_counter() - t0
+        log(f"host-to-host (tunnel-bound): enc {h2h_enc:.1f}s, "
+            f"dec {h2h_dec:.1f}s -> {pix/(h2h_enc+h2h_dec)/1e6:.1f} MPix/s")
 
-    sustained = min(dev_rt, ent_rt)
-    print(json.dumps({
+    sustained = min(dev_rt, ent_rt) if not degraded else ent_rt
+    sustained_median = (min(dev_rt, ent_rt_median) if not degraded
+                        else ent_rt_median)
+    result = {
         "metric": "sustained_1080p_roundtrip_throughput",
         "value": round(sustained, 2),
         "unit": "MPix/s",
         "vs_baseline": round(sustained / ref, 2),
-    }))
+        "median_across_windows": round(sustained_median, 2),
+    }
+    if degraded:
+        result["degraded"] = True
+    print(json.dumps(result))
+
+
+def run_with_retries() -> int:
+    """Re-exec the capture in fresh subprocesses, retrying with backoff.
+
+    A failed JAX backend init is cached for the life of the process, so
+    each attempt must be a new interpreter.  stderr/stdout are inherited:
+    the driver's stderr capture sees every attempt's markers, and the
+    JSON line (printed only on success, as the inner's last statement)
+    lands on stdout exactly once.
+    """
+    extra = [a for a in sys.argv[1:] if a not in ("--inner", "--degraded")]
+    n = len(RETRY_DELAYS_S) + 1
+    for i in range(n):
+        t0 = time.perf_counter()
+        rc = subprocess.call(
+            [sys.executable, os.path.abspath(__file__), "--inner", *extra])
+        if rc == 0:
+            return 0
+        log(f"bench attempt {i+1}/{n} failed (rc={rc}, "
+            f"{time.perf_counter()-t0:.0f}s)"
+            + (f"; retrying in {RETRY_DELAYS_S[i]}s" if i < n - 1 else ""))
+        if i < n - 1:
+            time.sleep(RETRY_DELAYS_S[i])
+    log("device backend unavailable through every retry; running degraded "
+        "capture on the CPU backend (host entropy stage only)")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = ":".join(
+        p for p in env.get("PYTHONPATH", "").split(":")
+        if p and "axon" not in p)
+    return subprocess.call(
+        [sys.executable, os.path.abspath(__file__), "--inner", "--degraded",
+         *extra], env=env)
 
 
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv:
+        inner(degraded="--degraded" in sys.argv)
+    else:
+        sys.exit(run_with_retries())
