@@ -1535,6 +1535,426 @@ class PackTokenizer {
   int64_t cur_zrun_ = 0;
 };
 
+// --------------------------------------------------------------------------
+// Lockstep SIMD encode pack: 8 substreams per AVX-512 register set.
+//
+// The fused scalar scan+pack is chain-bound on literal emission (~2.8M
+// sequential Puts/frame; docs/ARCHITECTURE.md round-3 splits).  The
+// decode-side cure -- 8 data-parallel lanes -- applies here with a
+// structural advantage: the put chain, unlike the decode chain, feeds no
+// table lookup.  Every gather below (input word, pair table, run table,
+// segment list) depends only on the cheap cursor chain, so steps pipeline
+// at gather/scatter throughput instead of serializing on load latency.
+//
+// Tokenization is folded INTO the lockstep loop (a first cut with a
+// separate segment-scan pass measured -14%: the scan re-paid the memory
+// traffic the fused scalar pass already amortizes).  Each step gathers
+// one 8-byte window per lane; a vector byte-compare yields the window's
+// zero map, per-lane VPLZCNTQ arithmetic turns it into leading-literal /
+// leading-zero counts, and each lane emits one put: up to 4 literals via
+// the pair table (two entries register-combined when their widths fit),
+// a zero-run close via the full-range run LUT, or a pure cursor advance
+// while a run extends across windows.  The per-lane (acc, fill, pos)
+// writers keep the exact eager-flush store pattern of the scalar Put,
+// with one 8-byte scatter per step into per-lane scratch.
+//
+// Emitted bits are identical to the scalar packer's: the stream is the
+// concatenation of per-token codes; neither pair grouping nor pair
+// alignment can change it, a lone zero is literal symbol 0 on both
+// paths, and run closes follow the same kMaxRun cap rule.  Lanes whose
+// window would cross their block end retire into a scalar byte-loop
+// finisher (bounded tail work).
+// --------------------------------------------------------------------------
+
+// Pre-combined run payloads for every legal length (2..kMaxRun):
+// code | extra << nb, total bits in the top byte.  nb <= kMaxCodeBits=42
+// plus <= 14 extra bits fits the 56-bit Put ceiling.  (PackTokenizer's
+// in-chunk walk indexes only lengths <= 64 of this same table.)
+void BuildRunLutFull(const uint64_t *fused, uint64_t *runlut) {
+  runlut[0] = 0;
+  // A 1-zero "stretch" codes as literal symbol 0 (the format's rule);
+  // fused[] shares the code|bits<<56 layout.  The SIMD packer closes a
+  // carried run of 1 (a lone zero at a window edge) through this entry.
+  runlut[1] = fused[0];
+  for (int len = 2; len <= kMaxRun; ++len) {
+    uint32_t extra;
+    int ebits;
+    int sym = RunSymbol(len, &extra, &ebits);
+    uint64_t e = fused[sym];
+    int nb = static_cast<int>(e >> 56);
+    runlut[len] = (e & kMask56) | (static_cast<uint64_t>(extra) << nb) |
+                  (static_cast<uint64_t>(nb + ebits) << 56);
+  }
+}
+
+#if HIMG_HAVE_AVX512BW && defined(__AVX512CD__)
+#define HIMG_HAVE_SIMD_ENC 1
+
+#ifdef HIMG_SIMD_STATS
+int64_t g_enc_steps = 0, g_enc_lanes = 0, g_enc_one = 0, g_enc_pair = 0,
+        g_enc_comb = 0, g_enc_ext = 0, g_enc_close = 0;
+#endif
+
+// Mid-pack lane state extracted from the vector registers.
+struct LanePack {
+  int64_t inpos;    // absolute input cursor
+  int64_t carried;  // open zero-run length (0 = none)
+  int64_t pos;      // byte cursor into the lane's scratch
+  uint64_t acc;
+  int64_t fill;
+};
+
+// Finish one lane's remaining bytes with the scalar byte loop (the
+// window no longer fits its block).  Closes the open run with the same
+// cap rule as PackTokenizer::CloseRun.  Returns the final bit count.
+int64_t ScalarPackFinish(const uint8_t *in, int64_t blk_end,
+                         const uint64_t *fused, const uint64_t *runlut,
+                         uint8_t *dst, LanePack st) {
+  uint8_t *p = dst + st.pos;
+  uint64_t acc = st.acc;
+  int fill = static_cast<int>(st.fill);
+  auto put = [&](uint64_t v, int bits) {  // v clean, bits <= 56
+    acc |= v << fill;
+    fill += bits;
+    std::memcpy(p, &acc, 8);
+    p += fill >> 3;
+    acc >>= (fill & ~7);
+    fill &= 7;
+  };
+  int64_t run = st.carried;
+  auto close_run = [&]() {
+    while (run >= 2) {
+      int64_t z = std::min<int64_t>(run, kMaxRun);
+      uint64_t e = runlut[z];
+      put(e & kMask56, static_cast<int>(e >> 56));
+      run -= z;
+      if (run == 1) break;  // capped-run leftover: literal 0 below
+    }
+    if (run == 1) {  // lone zero codes as literal symbol 0
+      uint64_t e0 = fused[0];
+      put(e0 & kMask56, static_cast<int>(e0 >> 56));
+    }
+    run = 0;
+  };
+  for (; st.inpos < blk_end; ++st.inpos) {
+    uint8_t v = in[st.inpos];
+    if (v == 0) {
+      ++run;
+      continue;
+    }
+    if (run) close_run();
+    uint64_t e = fused[v];
+    put(e & kMask56, static_cast<int>(e >> 56));
+  }
+  if (run) close_run();
+  if (fill > 0) *p = static_cast<uint8_t>(acc);
+  return (p - dst) * 8 + fill;
+}
+
+// Pack 8 equal-size blocks in lockstep into per-lane scratch slots
+// (lane_stride bytes apart, each with >= 8 bytes of slack past any
+// reachable cursor).  Writes each lane's exact bit count to out_bits.
+void PackGroupSimd(const uint8_t *in, const int64_t *blk_off,
+                   int64_t block_size, const uint64_t *fused,
+                   const uint64_t *fused2, const uint64_t *runlut,
+                   uint8_t *scratch, int64_t lane_stride,
+                   int64_t *out_bits) {
+  alignas(64) int64_t a_inpos[8], a_carried[8], a_pos[8], a_fill[8],
+      a_end[8], a_lane[8], a_total[8];
+  alignas(64) uint64_t a_acc[8];
+  for (int i = 0; i < 8; ++i) {
+    a_inpos[i] = blk_off[i];
+    a_end[i] = blk_off[i] + block_size;
+    a_lane[i] = i * lane_stride;
+  }
+  __m512i inpos = _mm512_load_si512(a_inpos);
+  __m512i carried = _mm512_setzero_si512();
+  __m512i pos = _mm512_setzero_si512();
+  __m512i fill = _mm512_setzero_si512();
+  __m512i acc = _mm512_setzero_si512();
+  const __m512i vend = _mm512_load_si512(a_end);
+  const __m512i lane = _mm512_load_si512(a_lane);
+  const __m512i vzero = _mm512_setzero_si512();
+  const __m512i v1 = _mm512_set1_epi64(1);
+  const __m512i v7 = _mm512_set1_epi64(7);
+  const __m512i v8 = _mm512_set1_epi64(8);
+  const __m512i v63 = _mm512_set1_epi64(63);
+  const __m512i vmask56 = _mm512_set1_epi64(static_cast<int64_t>(kMask56));
+  __mmask8 active = 0xFF;
+
+  auto retire = [&](__mmask8 m) {
+    _mm512_store_si512(a_inpos, inpos);
+    _mm512_store_si512(a_carried, carried);
+    _mm512_store_si512(a_pos, pos);
+    _mm512_store_si512(a_fill, fill);
+    _mm512_store_si512(reinterpret_cast<__m512i *>(a_acc), acc);
+    for (int i = 0; i < 8; ++i) {
+      if (!(m >> i & 1)) continue;
+      LanePack st{a_inpos[i], a_carried[i], a_pos[i], a_acc[i], a_fill[i]};
+      out_bits[i] = ScalarPackFinish(in, a_end[i], fused, runlut,
+                                     scratch + i * lane_stride, st);
+    }
+    active &= static_cast<__mmask8>(~m);
+  };
+
+  // Per-lane index of the lowest 0xFF byte of t (t's bytes are
+  // 0x00/0xFF): isolate the lowest set bit, VPLZCNTQ it; 8 when t == 0.
+  auto byte_ctz = [&](__m512i t) {
+    __m512i lo = _mm512_and_epi64(t, _mm512_sub_epi64(vzero, t));
+    __m512i lz = _mm512_lzcnt_epi64(lo);  // 64 for t == 0
+    __m512i idx = _mm512_srli_epi64(_mm512_sub_epi64(v63, lz), 3);
+    return _mm512_mask_mov_epi64(idx, _mm512_cmpeq_epi64_mask(t, vzero),
+                                 v8);
+  };
+
+  while (active) {
+#ifdef HIMG_SIMD_STATS
+    ++g_enc_steps;
+    g_enc_lanes += __builtin_popcount(active);
+#endif
+    // Lanes whose 8-byte window would cross their block end finish
+    // scalar (bounded tail work; also closes any open run).
+    __mmask8 mnear = _mm512_mask_cmpgt_epi64_mask(
+        active, _mm512_add_epi64(inpos, v8), vend);
+    if (mnear) retire(mnear);
+    if (!active) break;
+
+    __m512i w = _mm512_mask_i64gather_epi64(vzero, active, inpos, in, 1);
+    // Zero-byte map of each lane's window, as 0x00/0xFF bytes.
+    __m512i zb = _mm512_movm_epi8(_mm512_cmpeq_epi8_mask(w, vzero));
+    // A zero byte BLOCKS literal pairing only when it can start a >= 2
+    // run: a zero neighbour on either side, or the window's last byte
+    // (continuation unknown -- conservative, resolved next step).  Lone
+    // zeros are literal symbol 0 and ride the pair table like any byte.
+    __m512i blocking = _mm512_and_si512(
+        zb, _mm512_or_si512(
+                _mm512_or_si512(_mm512_slli_epi64(zb, 8),
+                                _mm512_srli_epi64(zb, 8)),
+                _mm512_set1_epi64(
+                    static_cast<int64_t>(0xFF00000000000000ull))));
+    __m512i nlit = byte_ctz(blocking);  // pairable bytes this window
+    __m512i nzmask = _mm512_andnot_si512(zb, _mm512_set1_epi8(-1));
+    __m512i nz = byte_ctz(nzmask);  // zero bytes before the first nonzero
+
+    __mmask8 mrunmode =
+        _mm512_mask_cmpgt_epi64_mask(active, carried, vzero);
+    __mmask8 mfresh = static_cast<__mmask8>(active & ~mrunmode);
+    // Fresh lanes whose window starts on a blocking zero take the run
+    // logic (nlit == 0 implies zeros at positions 0 and 1, so nz >= 2,
+    // except a lone zero in the last window byte -- nz == 1 -- which
+    // steps forward as a single literal).
+    __mmask8 mz = _mm512_mask_cmpeq_epi64_mask(mfresh, nlit, vzero);
+    __mmask8 mzrun = _mm512_mask_cmpgt_epi64_mask(mz, nz, v1);
+    // Run extension: the whole window is zero.
+    __mmask8 mext = _mm512_mask_cmpeq_epi64_mask(
+        static_cast<__mmask8>(mrunmode | mzrun), nz, v8);
+    carried = _mm512_mask_add_epi64(carried, mext, carried, v8);
+    // Run close: the run ends inside the window (nz may be 0 for a
+    // carried run whose window starts with a literal).
+    __mmask8 mclose = static_cast<__mmask8>((mrunmode | mzrun) & ~mext);
+    __m512i total = _mm512_mask_add_epi64(vzero, mclose, carried, nz);
+    __mmask8 mbig = _mm512_mask_cmpgt_epi64_mask(
+        mclose, total, _mm512_set1_epi64(kMaxRun));
+    carried = _mm512_mask_mov_epi64(carried, mclose, vzero);
+
+    // Literal lanes emit one put covering as much of the window as the
+    // 56-bit ceiling allows: up to four pair-table entries, the odd
+    // trailing byte, and -- when the zero stretch after the literals
+    // closes inside the window -- its run code, all register-combined.
+    // A deep entry's 0xFF width fails every fit check, so deep pairs
+    // stop the tier chain naturally; only a deep FIRST pair needs the
+    // explicit demotion to a single literal.
+    __mmask8 mlit = static_cast<__mmask8>((mfresh & ~mz) | (mz & ~mzrun));
+    const __m512i vff = _mm512_set1_epi64(0xFFFF);
+    __mmask8 mge2 = _mm512_mask_cmpgt_epi64_mask(mlit, nlit, v1);
+    __mmask8 mge4 = _mm512_mask_cmpgt_epi64_mask(
+        mlit, nlit, _mm512_set1_epi64(3));
+    __mmask8 mge6 = _mm512_mask_cmpgt_epi64_mask(
+        mlit, nlit, _mm512_set1_epi64(5));
+    __mmask8 mge8 = _mm512_mask_cmpgt_epi64_mask(
+        mlit, nlit, _mm512_set1_epi64(7));
+    __m512i ea = _mm512_mask_i64gather_epi64(
+        vzero, mge2, _mm512_and_epi64(w, vff), fused2, 8);
+    __m512i eb = _mm512_mask_i64gather_epi64(
+        vzero, mge4, _mm512_and_epi64(_mm512_srli_epi64(w, 16), vff),
+        fused2, 8);
+    __m512i ec = _mm512_mask_i64gather_epi64(
+        vzero, mge6, _mm512_and_epi64(_mm512_srli_epi64(w, 32), vff),
+        fused2, 8);
+    __m512i ed = _mm512_mask_i64gather_epi64(
+        vzero, mge8, _mm512_srli_epi64(w, 48), fused2, 8);
+    __m512i na = _mm512_srli_epi64(ea, 56);
+    __m512i n2 = _mm512_add_epi64(na, _mm512_srli_epi64(eb, 56));
+    __m512i n3 = _mm512_add_epi64(n2, _mm512_srli_epi64(ec, 56));
+    __m512i n4 = _mm512_add_epi64(n3, _mm512_srli_epi64(ed, 56));
+    __mmask8 mdeepa = _mm512_mask_cmpeq_epi64_mask(
+        mge2, na, _mm512_set1_epi64(0xFF));
+    mge2 &= static_cast<__mmask8>(~mdeepa);
+    const __m512i v56 = _mm512_set1_epi64(56);
+    __mmask8 t2 = static_cast<__mmask8>(
+        mge4 & ~mdeepa & _mm512_cmple_epi64_mask(n2, v56));
+    __mmask8 t3 = static_cast<__mmask8>(
+        mge6 & t2 & _mm512_cmple_epi64_mask(n3, v56));
+    __mmask8 t4 = static_cast<__mmask8>(
+        mge8 & t3 & _mm512_cmple_epi64_mask(n4, v56));
+    __m512i e1 = _mm512_mask_i64gather_epi64(
+        vzero, mdeepa, _mm512_and_epi64(w, _mm512_set1_epi64(0xFF)),
+        fused, 8);
+
+    // Pair-tier payload/width/advance (tiers overwrite upwards;
+    // t4 c t3 c t2 c mge2 by construction).  nlit == 1 lanes stay at
+    // zero here and are completed by the tail append below.
+    __m512i pay =
+        _mm512_maskz_mov_epi64(mdeepa, _mm512_and_epi64(e1, vmask56));
+    __m512i nbits =
+        _mm512_maskz_mov_epi64(mdeepa, _mm512_srli_epi64(e1, 56));
+    __m512i adv = _mm512_maskz_mov_epi64(mdeepa, v1);
+    pay = _mm512_mask_mov_epi64(pay, mge2, _mm512_and_epi64(ea, vmask56));
+    nbits = _mm512_mask_mov_epi64(nbits, mge2, na);
+    adv = _mm512_mask_mov_epi64(adv, mge2, _mm512_set1_epi64(2));
+    __m512i pay2 = _mm512_or_epi64(
+        _mm512_and_epi64(ea, vmask56),
+        _mm512_sllv_epi64(_mm512_and_epi64(eb, vmask56), na));
+    pay = _mm512_mask_mov_epi64(pay, t2, pay2);
+    nbits = _mm512_mask_mov_epi64(nbits, t2, n2);
+    adv = _mm512_mask_mov_epi64(adv, t2, _mm512_set1_epi64(4));
+    __m512i pay3 = _mm512_or_epi64(
+        pay2, _mm512_sllv_epi64(_mm512_and_epi64(ec, vmask56), n2));
+    pay = _mm512_mask_mov_epi64(pay, t3, pay3);
+    nbits = _mm512_mask_mov_epi64(nbits, t3, n3);
+    adv = _mm512_mask_mov_epi64(adv, t3, _mm512_set1_epi64(6));
+    __m512i pay4 = _mm512_or_epi64(
+        pay3, _mm512_sllv_epi64(_mm512_and_epi64(ed, vmask56), n3));
+    pay = _mm512_mask_mov_epi64(pay, t4, pay4);
+    nbits = _mm512_mask_mov_epi64(nbits, t4, n4);
+    adv = _mm512_mask_mov_epi64(adv, t4, v8);
+
+    // Odd-tail append: lanes whose every full pair fitted add the
+    // trailing literal (this also covers nlit == 1, whose "pairs" part
+    // is empty; single codes are <= 42 bits, so they always fit there).
+    __m512i oddv = _mm512_and_epi64(nlit, v1);
+    __mmask8 full_pairs = static_cast<__mmask8>(
+        (mlit & ~mdeepa) &
+        _mm512_cmpeq_epi64_mask(adv, _mm512_sub_epi64(nlit, oddv)));
+    __mmask8 mtail = full_pairs & _mm512_test_epi64_mask(nlit, v1);
+    __m512i tbyte = _mm512_and_epi64(
+        _mm512_srlv_epi64(
+            w, _mm512_slli_epi64(_mm512_sub_epi64(nlit, v1), 3)),
+        _mm512_set1_epi64(0xFF));
+    __m512i et = _mm512_mask_i64gather_epi64(vzero, mtail, tbyte, fused, 8);
+    __m512i wt = _mm512_add_epi64(nbits, _mm512_srli_epi64(et, 56));
+    __mmask8 tail_ok =
+        static_cast<__mmask8>(mtail & _mm512_cmple_epi64_mask(wt, v56));
+    pay = _mm512_mask_or_epi64(
+        pay, tail_ok, pay,
+        _mm512_sllv_epi64(_mm512_and_epi64(et, vmask56), nbits));
+    nbits = _mm512_mask_mov_epi64(nbits, tail_ok, wt);
+    adv = _mm512_mask_add_epi64(adv, tail_ok, adv, v1);
+
+    // Full-literal lanes look past their literals: a zero stretch that
+    // closes inside the window appends its run code when it fits; one
+    // that reaches the window edge becomes the carried run.
+    __mmask8 full_emit = static_cast<__mmask8>(
+        full_pairs & (~mtail | tail_ok));
+    __m512i shifted = _mm512_srlv_epi64(nzmask, _mm512_slli_epi64(nlit, 3));
+    __m512i nz2 = byte_ctz(shifted);
+    __mmask8 closes = static_cast<__mmask8>(
+        full_emit & _mm512_cmplt_epi64_mask(_mm512_add_epi64(nlit, nz2),
+                                            v8));
+    // One run-LUT gather serves both the carried-run closes and the
+    // literal-step appends (disjoint lanes).
+    __mmask8 mrunput = static_cast<__mmask8>(mclose & ~mbig);
+    __m512i runidx = _mm512_maskz_mov_epi64(closes, nz2);
+    runidx = _mm512_mask_mov_epi64(runidx, mrunput, total);
+    __m512i er = _mm512_mask_i64gather_epi64(
+        vzero, static_cast<__mmask8>(mrunput | closes), runidx, runlut, 8);
+    __m512i wr = _mm512_add_epi64(nbits, _mm512_srli_epi64(er, 56));
+    __mmask8 run_ok =
+        static_cast<__mmask8>(closes & _mm512_cmple_epi64_mask(wr, v56));
+    pay = _mm512_mask_or_epi64(
+        pay, run_ok, pay,
+        _mm512_sllv_epi64(_mm512_and_epi64(er, vmask56), nbits));
+    nbits = _mm512_mask_mov_epi64(nbits, run_ok, wr);
+    adv = _mm512_mask_mov_epi64(adv, run_ok, _mm512_add_epi64(nlit, nz2));
+    __mmask8 medge = static_cast<__mmask8>(full_emit & ~closes);
+    carried = _mm512_mask_add_epi64(carried, medge, carried,
+                                    _mm512_sub_epi64(v8, nlit));
+    adv = _mm512_mask_mov_epi64(adv, medge, v8);
+#ifdef HIMG_SIMD_STATS
+    g_enc_one += __builtin_popcount(mdeepa | (mtail & ~tail_ok));
+    g_enc_pair += __builtin_popcount(mge2 & ~t2);
+    g_enc_comb += __builtin_popcount(run_ok | tail_ok);
+    g_enc_ext += __builtin_popcount(mext | medge);
+    g_enc_close += __builtin_popcount(mclose | (closes & ~run_ok));
+#endif
+
+    // Carried-run close lanes: the run code is the whole put.
+    pay = _mm512_mask_mov_epi64(pay, mrunput,
+                                _mm512_and_epi64(er, vmask56));
+    nbits = _mm512_mask_mov_epi64(nbits, mrunput, _mm512_srli_epi64(er, 56));
+    adv = _mm512_mask_mov_epi64(adv, mclose, nz);
+    adv = _mm512_mask_mov_epi64(adv, mext, v8);
+
+    // The put, vectorized: identical store pattern to the scalar Put
+    // (eager flush, 8-byte store at the pre-advance cursor).  Extension
+    // lanes carry zero width; their re-store is idempotent.
+    acc = _mm512_or_epi64(acc, _mm512_sllv_epi64(pay, fill));
+    fill = _mm512_add_epi64(fill, nbits);
+    _mm512_mask_i64scatter_epi64(scratch, active,
+                                 _mm512_add_epi64(lane, pos), acc, 1);
+    pos = _mm512_add_epi64(pos, _mm512_srli_epi64(fill, 3));
+    acc = _mm512_srlv_epi64(acc, _mm512_andnot_epi64(v7, fill));
+    fill = _mm512_and_epi64(fill, v7);
+    inpos = _mm512_add_epi64(inpos, adv);
+
+    // Over-cap run close (> kMaxRun zeros): scalar emission of the
+    // capped pieces; reachable only via multi-kilobyte in-block runs.
+    if (mbig) {
+      _mm512_store_si512(a_pos, pos);
+      _mm512_store_si512(a_fill, fill);
+      _mm512_store_si512(reinterpret_cast<__m512i *>(a_acc), acc);
+      _mm512_store_si512(a_total, total);
+      for (int i = 0; i < 8; ++i) {
+        if (!(mbig >> i & 1)) continue;
+        uint8_t *dst = scratch + i * lane_stride;
+        uint8_t *p = dst + a_pos[i];
+        uint64_t lacc = a_acc[i];
+        int lfill = static_cast<int>(a_fill[i]);
+        int64_t r = a_total[i];
+        while (r >= 2) {
+          int64_t z = std::min<int64_t>(r, kMaxRun);
+          uint64_t e = z <= kMaxRun ? runlut[z] : 0;
+          lacc |= (e & kMask56) << lfill;
+          lfill += static_cast<int>(e >> 56);
+          std::memcpy(p, &lacc, 8);
+          p += lfill >> 3;
+          lacc >>= (lfill & ~7);
+          lfill &= 7;
+          r -= z;
+          if (r == 1) {  // capped-run leftover: literal 0
+            uint64_t e0 = fused[0];
+            lacc |= (e0 & kMask56) << lfill;
+            lfill += static_cast<int>(e0 >> 56);
+            std::memcpy(p, &lacc, 8);
+            p += lfill >> 3;
+            lacc >>= (lfill & ~7);
+            lfill &= 7;
+            r = 0;
+          }
+        }
+        a_pos[i] = p - dst;
+        a_acc[i] = lacc;
+        a_fill[i] = lfill;
+      }
+      pos = _mm512_load_si512(a_pos);
+      fill = _mm512_load_si512(a_fill);
+      acc = _mm512_load_si512(reinterpret_cast<const __m512i *>(a_acc));
+    }
+  }
+}
+
+#endif  // HIMG_HAVE_AVX512BW && __AVX512CD__
+
 // The single-pass packers admit at most 56 bits per Put (eager flush keeps
 // fill <= 7), so codes deeper than 42 bits (+14 extra) would corrupt the
 // stream.  Reaching depth 43 requires ~Fibonacci-growth symbol counts over
@@ -1794,19 +2214,16 @@ int64_t he_compress_assisted(const uint8_t *in, int64_t in_size,
                (static_cast<uint64_t>(table.bits[s]) << 56);
   std::vector<uint64_t> fused2(65536);
   BuildFused2(fused, fused2.data());
-  // Local-run payload LUT (len 2..64): code and extra bits pre-combined
-  // into one Put payload, killing RunSymbol's class-branch chain in the
-  // hot walk.  nb <= 42 (CodeDepthOk) + ebits <= 8 at len <= 64 fits 56.
-  uint64_t runlut[65] = {0};
-  for (int len = 2; len <= 64; ++len) {
-    uint32_t extra;
-    int ebits;
-    int sym = RunSymbol(len, &extra, &ebits);
-    uint64_t e = fused[sym];
-    int nb = static_cast<int>(e >> 56);
-    runlut[len] = (e & kMask56) | (static_cast<uint64_t>(extra) << nb) |
-                  (static_cast<uint64_t>(nb + ebits) << 56);
-  }
+  // Run payload LUT: code and extra bits pre-combined into one Put
+  // payload, killing RunSymbol's class-branch chain in the hot walk.
+  // Full length range (2..kMaxRun) so the SIMD group packer can gather
+  // ANY segment's run payload; PackTokenizer indexes only lengths <= 64.
+  // thread_local so the 130 KB buffer is faulted in once per thread, not
+  // per frame (BatchCodec calls this from a worker pool).
+  static thread_local std::vector<uint64_t> runlut_v;
+  runlut_v.resize(kMaxRun + 1);
+  uint64_t *runlut = runlut_v.data();
+  BuildRunLutFull(fused, runlut);
   pt.lap(kPhTree, "tree");
 
   // Sequential fused scan+pack, written DIRECTLY into `out` (the old
@@ -1828,7 +2245,70 @@ int64_t he_compress_assisted(const uint8_t *in, int64_t in_size,
   // class methods do not.  Don't retry.)
   std::vector<int64_t> boff(static_cast<size_t>(n_blocks));
   std::vector<int64_t> bpacked(static_cast<size_t>(n_blocks));
-  for (int64_t b = 0; b < n_blocks; ++b) {
+  // Stale byte for block b's trailing partial byte at block-relative
+  // index i: the latest earlier block whose payload covered i (the
+  // reference's reused serialization buffer), else 0.
+  auto stale_at = [&](int64_t b, int64_t i) -> uint8_t {
+    for (int64_t j = b - 1; j >= 0; --j)
+      if (bpacked[j] > i) return out[boff[j] + i];
+    return 0;
+  };
+  int64_t b0 = 0;
+#if HIMG_HAVE_SIMD_ENC
+  // Lockstep SIMD groups of 8 blocks (see PackGroupSimd); remainder
+  // blocks and the kill-switch fallback (HIMG_SIMD_ENCODE=0, for A/B
+  // receipts) take the scalar fused scan+pack below.
+  {
+    const char *env = std::getenv("HIMG_SIMD_ENCODE");
+    const bool simd_on = !(env && env[0] == '0');
+    if (simd_on && use_blocks && n_blocks >= 8 && block_size >= 64)
+      b0 = (n_blocks / 8) * 8;
+  }
+  if (b0) {
+    const int64_t lane_stride = 8 * block_size + 16;
+    // thread_local: reused across frames, no per-call faulting.
+    static thread_local std::vector<uint8_t> lane_buf;
+    lane_buf.resize(static_cast<size_t>(8 * lane_stride));
+    for (int64_t g = 0; g < b0; g += 8) {
+      int64_t blk_off[8], bits8[8];
+      for (int i = 0; i < 8; ++i) blk_off[i] = (g + i) * block_size;
+      PackGroupSimd(in, blk_off, block_size, fused, fused2.data(), runlut,
+                    lane_buf.data(), lane_stride, bits8);
+      for (int i = 0; i < 8; ++i) {
+        const int64_t b = g + i;
+        if (cursor + 4 + 8 * block_size + 16 > out_cap) return -1;
+        int64_t packed = (bits8[i] + 7) / 8;
+        int64_t prefix = use_blocks ? (packed <= 0x7FFF ? 2 : 4) : 0;
+        uint8_t *dst = out + cursor + prefix;
+        std::memcpy(dst, lane_buf.data() + i * lane_stride,
+                    static_cast<size_t>(packed));
+        int rem = static_cast<int>(bits8[i] & 7);
+        if (rem) {
+          uint8_t mask = static_cast<uint8_t>((1u << rem) - 1);
+          dst[packed - 1] = static_cast<uint8_t>(
+              (dst[packed - 1] & mask) | (stale_at(b, packed - 1) & ~mask));
+        }
+        if (use_blocks) {
+          uint8_t *pre = out + cursor;
+          if (prefix == 2) {
+            pre[0] = static_cast<uint8_t>(packed);
+            pre[1] = static_cast<uint8_t>(packed >> 8);
+          } else {
+            uint32_t lo = static_cast<uint32_t>((packed & 0x7FFF) | 0x8000);
+            pre[0] = static_cast<uint8_t>(lo);
+            pre[1] = static_cast<uint8_t>(lo >> 8);
+            pre[2] = static_cast<uint8_t>(packed >> 15);
+            pre[3] = static_cast<uint8_t>(packed >> 23);
+          }
+        }
+        boff[b] = cursor + prefix;
+        bpacked[b] = packed;
+        cursor += prefix + packed;
+      }
+    }
+  }
+#endif  // HIMG_HAVE_SIMD_ENC
+  for (int64_t b = b0; b < n_blocks; ++b) {
     // Worst case: every input byte takes a full-depth code (<= 64 bits,
     // he_max_compressed_size's 8x bound) + prefix + 8-byte spill slack.
     if (cursor + 4 + 8 * block_size + 16 > out_cap) return -1;
@@ -1847,14 +2327,9 @@ int64_t he_compress_assisted(const uint8_t *in, int64_t in_size,
     }
     int rem = static_cast<int>(bits & 7);
     if (rem) {
-      uint8_t stale = 0;
-      int64_t i = packed - 1;
-      for (int64_t j = b - 1; j >= 0; --j) {
-        if (bpacked[j] > i) { stale = out[boff[j] + i]; break; }
-      }
       uint8_t mask = static_cast<uint8_t>((1u << rem) - 1);
       dst[packed - 1] = static_cast<uint8_t>(
-          (dst[packed - 1] & mask) | (stale & ~mask));
+          (dst[packed - 1] & mask) | (stale_at(b, packed - 1) & ~mask));
     }
     if (use_blocks) {
       uint8_t *pre = out + cursor;

@@ -362,3 +362,49 @@ def test_simd_decode_tiny_final_substreams_guard_page():
         libc.mprotect(ctypes.c_void_p(addr + (npages - 1) * page),
                       page, 3)  # PROT_READ|WRITE so munmap/gc is safe
         del view
+
+
+def test_simd_encode_kill_switch_identical(monkeypatch):
+    """HIMG_SIMD_ENCODE=0 routes he_compress_assisted through the scalar
+    fused scan+pack; both packers must be byte-identical on content that
+    engages the lockstep group path (>= 8 blocks of >= 64 bytes), and
+    both must match the two-pass he_compress that pins the reference
+    bits.  Content targets the vector step's corners: lone zeros at
+    every window phase, runs crossing 8-byte windows, all-zero blocks,
+    runs longer than kMaxRun (the capped-piece excursion), and blocks
+    ending mid-run (the scalar tail finisher's close)."""
+    from himg_tpu.entropy import native
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(7)
+    cases = []
+    for zf, seed in ((0.0, 1), (0.3, 2), (0.8, 3), (0.97, 4)):
+        cases.append((_data(8 * 2048, zf, seed=seed), 2048))
+    # Lone zeros at every phase of the packer's 8-byte windows.
+    d = np.full(8 * 256, 11, np.uint8)
+    d[5::17] = 0
+    cases.append((d, 256))
+    # Runs of every small length at shifting window phases.
+    d = rng.integers(1, 256, 8 * 512).astype(np.uint8)
+    p = 3
+    for run in (2, 3, 5, 7, 8, 9, 15, 17, 23, 31):
+        d[p:p + run] = 0
+        p += run + 11
+    cases.append((d, 512))
+    # All-zero blocks next to dense blocks; a >kMaxRun run inside one
+    # block (the excursion), and a block ENDING mid-run (tail close).
+    d = rng.integers(0, 256, 10 * 20000).astype(np.uint8)
+    d[20000:40000] = 0                  # an all-zero block (run 20000 > 16662)
+    d[55000:60000] = 0                  # run to a block boundary
+    cases.append((d, 20000))
+    # Tiny blocks right at the size gate.
+    cases.append((_data(16 * 64, 0.7, seed=9), 64))
+    for d, bs in cases:
+        hist = native.histogram(d, bs)
+        simd = native.compress_assisted(d, bs, hist)
+        monkeypatch.setenv("HIMG_SIMD_ENCODE", "0")
+        scalar = native.compress_assisted(d, bs, hist)
+        monkeypatch.delenv("HIMG_SIMD_ENCODE")
+        assert simd == scalar
+        assert simd == native.compress(d, bs)
+        assert np.array_equal(native.decompress(simd, d.size, bs), d)
