@@ -326,14 +326,15 @@ def derasterize_bmat(cols_p: int, w8: int) -> np.ndarray:
     return bmat.astype(jnp.bfloat16)
 
 
-def sampling_wmat(w: int, cols_p: int) -> np.ndarray:
+def sampling_wmat(w: int, cols_p: int, lanes: int | None = None) -> np.ndarray:
     """Horizontal window-sum matrix for in-kernel low-res sampling: f32
-    [W8, colsP] with W[j, u] = 1 for max(0, 8u-3) <= j <= min(w-1, 8u+4)
-    (downsampled.cpp:67-94's x window); columns u >= ceil(w/8) stay zero.
+    [lanes, colsP] with W[j, u] = 1 for max(0, 8u-3) <= j <= min(w-1, 8u+4)
+    (downsampled.cpp:67-94's x window); columns u >= ceil(w/8) stay zero,
+    as do rows j >= w (raster pad lanes never contribute to a window).
     Sums of <= 8 row-sums of <= 2040 stay < 2**24: exact in f32.
     """
     cols = (w + 7) >> 3
-    w8 = cols * 8
+    w8 = cols * 8 if lanes is None else lanes
     mat = np.zeros((w8, cols_p), np.float32)
     for u in range(min(cols, cols_p)):
         x0, x1 = max(0, 8 * u - 3), min(w - 1, 8 * u + 4)
@@ -378,7 +379,7 @@ def _encode_channel_tile(pix, la, lb, lc, ld, shift_col, th_vec):
 
 
 def _make_encode_frame_kernel(c: int, use_ycbcr: bool, rows: int, h: int,
-                              w: int, cols: int, cols_p: int):
+                              w: int, cols: int, cols_p: int, w8: int):
     """Single-pass encode kernel body: one grid step = one block row.
 
     Consumes raw raster packed-u32 pixels (4 halo-clamped block views of
@@ -389,9 +390,12 @@ def _make_encode_frame_kernel(c: int, use_ycbcr: bool, rows: int, h: int,
     raster->plane-major interleave, in-kernel predictor upsample, WHT,
     quantize, MapTo8Bit -- happens in VMEM, eliminating the unpack,
     color, low-res sampling, and layout XLA passes (a full HBM round
-    trip each).  Requires h % 8 == 0 and w % 8 == 0 (callers gate).
+    trip each).  h and w are the TRUE image extents (the sampling window
+    clamps run against them); w8 is the padded raster lane count the
+    caller laid the input out in (lanes in [w, 8*cols) carry the HIMG
+    edge-replication pad, lanes >= 8*cols feed only discarded block
+    columns).
     """
-    w8 = cols * 8
 
     def unpack_ycbcr(ras32):
         """[8, w8] int32 packed pixels -> c x [8, w8] int32 planes."""
@@ -508,25 +512,54 @@ def _make_encode_frame_kernel(c: int, use_ycbcr: bool, rows: int, h: int,
     return kernel
 
 
+def pad_raster_to_blocks(packed: jnp.ndarray, lanes: int) -> jnp.ndarray:
+    """[B, H, W] raster pixels -> [B, H8, lanes] with HIMG's replication
+    quirks (blocks.pad_to_blocks: right pad replicates the last column,
+    bottom pad floods each edge block with its bottom-right valid pixel)
+    applied in [:, :H8, :W8]; lanes beyond W8 are zero (they feed only
+    discarded block columns).  Positional replication on channel-packed
+    u32 pixels is byte-wise identical to the per-channel-plane pad."""
+    b, h, w = packed.shape
+    h8, w8 = (h + 7) & ~7, (w + 7) & ~7
+    out = packed
+    if w8 != w:
+        out = jnp.concatenate(
+            [out, jnp.broadcast_to(out[:, :, w - 1:w], (b, h, w8 - w))],
+            axis=2)
+    if h8 != h:
+        last = out[:, h - 1]                              # [B, W8]
+        fill = last.reshape(b, w8 // 8, 8)[:, :, 7:8]
+        fill = jnp.broadcast_to(fill, (b, w8 // 8, 8)).reshape(b, w8)
+        out = jnp.concatenate(
+            [out, jnp.broadcast_to(fill[:, None, :], (b, h8 - h, w8))],
+            axis=1)
+    if lanes != w8:
+        out = jnp.concatenate(
+            [out, jnp.zeros((b, h8, lanes - w8), out.dtype)], axis=2)
+    return out
+
+
 def encode_frames_from_raster(packed, shift_zz, thresholds, c: int,
                               use_ycbcr: bool, interpret: bool = False):
-    """Single-pass fused encode of raster packed frames.
+    """Single-pass fused encode of raster packed frames, any geometry.
 
     packed: uint32 [B, H, W] channel-packed pixels (uint8 [B, H, W] for
-    c == 1).  Returns (fres uint8 [B, rows, C, 64, cols],
-    grids uint8 [B, C, rows, cols]) -- the low-res sample grid comes out
-    of the same kernel pass, so the caller only runs the (tiny) predictor
-    search + feedback scan on it.  Requires H % 8 == 0, W % 8 == 0 and
-    W % 128 == 0; callers fall back to the multi-pass path otherwise.
+    c == 1), true (unpadded) extents.  Returns
+    (fres uint8 [B, rows, C, 64, cols], grids uint8 [B, C, rows, cols])
+    -- the low-res sample grid comes out of the same kernel pass, so the
+    caller only runs the (tiny) predictor search + feedback scan on it.
+    Non-block-multiple extents are padded in-graph with the HIMG edge
+    replication quirks, and the raster lane axis is padded to a 128
+    multiple (pad lanes feed only discarded block columns), so every
+    width takes this kernel at full speed -- matching the reference's
+    any-geometry encoder (encoder.cpp:26-52) instead of falling back.
     """
     b, hh, ww = packed.shape
-    if hh % 8 or ww % 8 or ww % 128:
-        raise ValueError(f"geometry {hh}x{ww} needs the multi-pass path")
-    rows, cols = hh // 8, ww // 8
+    rows, cols = (hh + 7) >> 3, (ww + 7) >> 3
     cols_p = -(-cols // 128) * 128
-    w8 = cols * 8
+    w8 = -(-cols // 16) * 16 * 8                 # padded raster lane count
     nb = b * rows
-    ras = packed.reshape(nb, 8, w8)
+    ras = pad_raster_to_blocks(packed, w8).reshape(nb, 8, w8)
     space = pl.ANY if interpret else pltpu.VMEM
 
     def halo(off):
@@ -548,7 +581,8 @@ def encode_frames_from_raster(packed, shift_zz, thresholds, c: int,
     samp_spec = pl.BlockSpec((1, c, cols_p), lambda i: (i, 0, 0),
                              memory_space=space)
     wire, samp = pl.pallas_call(
-        _make_encode_frame_kernel(c, use_ycbcr, rows, hh, ww, cols, cols_p),
+        _make_encode_frame_kernel(c, use_ycbcr, rows, hh, ww, cols, cols_p,
+                                  w8),
         grid=(nb,),
         in_specs=[halo(-2), halo(-1), halo(0), halo(1),
                   shift_spec, th_spec, wmat_spec, bt_spec],
@@ -559,7 +593,7 @@ def encode_frames_from_raster(packed, shift_zz, thresholds, c: int,
     )(ras, ras, ras, ras,
       shift_zz.reshape(1, c, 64).astype(jnp.int32),
       thresholds.reshape(1, 1, 127).astype(jnp.int32),
-      jnp.asarray(sampling_wmat(ww, cols_p), jnp.bfloat16),
+      jnp.asarray(sampling_wmat(ww, cols_p, w8), jnp.bfloat16),
       jnp.asarray(derasterize_bmat(cols_p, w8)))
     fres = wire.reshape(b, rows, c, 64, cols_p)[..., :cols]
     grids = samp.reshape(b, rows, c, cols_p)[..., :cols].transpose(0, 2, 1, 3)
@@ -610,18 +644,20 @@ def decode_frames_raster(fres, grids, shift_zz, pos_curve,
     -- reshaped, not relaid out); grids: uint8 [B, C, rows, cols] decoded
     low-res samples; shift_zz: [C, 64]; pos_curve: [128].  Returns
     uint32 [B, H8, W8] channel-packed pixels (byte k = channel k) for
-    C in (3, 4), or uint8 [B, H8, W8] for C == 1.  Requires
-    W8 % 128 == 0 (cols % 16 == 0); callers fall back to decode_rows +
-    XLA reassembly otherwise.
+    C in (3, 4), or uint8 [B, H8, W8] for C == 1.  Any width: when
+    8*cols is not a 128-lane multiple the kernel runs over zero-padded
+    block columns (corner vectors are built from the true grid first, so
+    the last valid block keeps its edge-clamped neighbours) and the
+    raster is cropped back in-graph -- matching the reference decoder's
+    full speed at every width (decoder.cpp:331-426) instead of falling
+    back to the multi-pass path.
 
     The batch is folded into the grid dimension (one grid step = one
     block row of one frame); vmapping the kernel instead trips Mosaic's
     2D-gather-only limit on the in-kernel un-zigzag.
     """
     b, rows, c, _, cols = fres.shape
-    w8 = 8 * cols
-    if w8 % 128 != 0:
-        raise ValueError(f"W8={w8} must be a lane multiple (cols % 16)")
+    w8 = -(-cols // 16) * 16 * 8                 # lane-aligned raster width
     cols_p = -(-cols // 128) * 128
     wire = pad_cols(fres.reshape(b * rows, c * 64, cols))
     # Corner-sample vectors per (frame, row, channel): [B*rows, C, colsP].
@@ -654,7 +690,9 @@ def decode_frames_raster(fres, grids, shift_zz, pos_curve,
     )(wire, *corners, shift_zz.reshape(1, c, 64).astype(jnp.int32),
       pos_curve.reshape(1, 1, 128).astype(jnp.int32),
       jnp.asarray(rasterize_bmat(cols_p, w8)))
-    return out.reshape(b, rows * 8, w8)
+    out = out.reshape(b, rows * 8, w8)
+    # Crop the lane padding back off (no-op copy is elided when aligned).
+    return out[..., :8 * cols] if w8 != 8 * cols else out
 
 
 def decode_frame_raster(fres, grids, shift_zz, pos_curve,

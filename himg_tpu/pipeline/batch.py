@@ -100,8 +100,10 @@ class BatchCodec:
         # YCbCr, low-res sampling, layout, WHT, quantize and MapTo8Bit run
         # in one Pallas pass over the raster input; only the (tiny)
         # predictor search + feedback scan stay in XLA.
+        # Any geometry: the kernel wrapper pads the raster in-graph with
+        # the HIMG edge-replication quirks (pad_raster_to_blocks).
         fused_enc = (use_pallas and pixel_format == "packed"
-                     and c in (1, 3, 4) and h % 8 == 0 and w % 128 == 0)
+                     and c in (1, 3, 4))
 
         def enc_stage(frames, *targs):
             b = frames.shape[0]
@@ -132,9 +134,10 @@ class BatchCodec:
         # Fused full-frame decode (decode_frame_raster): one Pallas pass
         # emits raster channel-packed pixels -- the reassembly, YCbCr and
         # packing XLA passes (a full HBM round-trip each) disappear.
-        # Needs the packed pixel format and a lane-aligned width.
+        # Needs the packed pixel format; any width (the kernel pads the
+        # block-column axis in-graph and crops the raster back).
         fused_dec = (use_pallas and pixel_format == "packed"
-                     and c in (1, 3, 4) and (8 * self.cols) % 128 == 0)
+                     and c in (1, 3, 4))
 
         def dec_stage(small, fres, shift_tables, fr_pos, lr_unmap):
             b = small.shape[0]

@@ -211,7 +211,10 @@ def decode(data: bytes, max_threads: int = 0) -> np.ndarray:
     has_chroma = header.use_ycbcr and header.num_channels >= 3
     c = header.num_channels
     rows, cols = fres.shape[0], fres.shape[-1]
-    if pk.default_enabled() and c in (1, 3, 4) and (8 * cols) % 128 == 0:
+    # Any width takes the fused kernel: decode_frames_raster pads the
+    # block-column axis in-graph and crops the raster back, so odd
+    # geometries keep full speed (matching decoder.cpp:331-426).
+    if pk.default_enabled() and c in (1, 3, 4):
         packed = np.asarray(_decode_device_fused(
             jnp.asarray(fres), jnp.asarray(delta_grids),
             jnp.asarray(pred_ids), jnp.asarray(shift_tables),

@@ -121,6 +121,44 @@ def _run_checks(log):
                                       np.asarray(ref_grids))
     check("fused_frame_encode_raster", fused_frame_encode)
 
+    def fused_odd_geometry():
+        # Non-128-lane-multiple width (1000 px -> 125 block cols) and
+        # partial edge blocks (35x75): both fused wrappers pad in-graph
+        # (pad_raster_to_blocks / lane pad + crop) and must stay
+        # byte-identical to the multi-pass XLA path on real hardware.
+        from ..utils.synth import pack_rgbx
+        shift_zz = jnp.asarray(et.shift_tables[:, np.asarray(tables.ZIGZAG)])
+        for (hh, ww) in ((16, 1000), (35, 75)):
+            fr = synth_frames(1, hh, ww, C, seed=hh + ww)
+            ep, ed, ef = jax.jit(jax.vmap(
+                partial(_encode_device, use_ycbcr=True, use_pallas=False),
+                in_axes=(0, None, None, None, None)))(jnp.asarray(fr),
+                                                      *targs)
+            fres_f, _ = jax.jit(lambda p: pk.encode_frames_from_raster(
+                p, shift_zz, jnp.asarray(et.fr_mapper.pack_thresholds),
+                C, True))(jnp.asarray(pack_rgbx(fr)))
+            np.testing.assert_array_equal(np.asarray(fres_f),
+                                          np.asarray(ef))
+            pi = jnp.asarray(np.asarray(ep).reshape(1, C, -1))
+            rows, cols = ef.shape[1], ef.shape[-1]
+            grids = jax.jit(jax.vmap(jax.vmap(
+                lambda d, p: lowres.decode_deltas(d, p, dargs[2],
+                                                  (rows, cols)))))(
+                jnp.asarray(ed), pi)
+            out = np.asarray(jax.jit(
+                lambda f, g: pk.decode_frames_raster(f, g, shift_zz,
+                                                     dargs[1], True))(
+                jnp.asarray(ef), grids))
+            ref = np.asarray(jax.jit(jax.vmap(
+                partial(_decode_device_planar, use_ycbcr=True,
+                        use_pallas=False),
+                in_axes=(0, 0, 0, None, None, None)))(
+                jnp.asarray(ef), jnp.asarray(ed), pi, *dargs))
+            for k in range(C):
+                np.testing.assert_array_equal(
+                    ((out >> (8 * k)) & 0xFF).astype(np.uint8), ref[:, k])
+    check("fused_odd_geometry_raster", fused_odd_geometry)
+
     def device_histogram():
         from ..entropy import native
         from ..entropy.device_hist import frame_histograms

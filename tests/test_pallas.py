@@ -1,6 +1,7 @@
 """Fused Pallas kernels vs the XLA ops (interpret mode on CPU)."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -57,7 +58,17 @@ def test_decode_rows_matches_xla():
         got[:, :, :cols].reshape(rows, 8, 8, cols), ref)
 
 
-def test_encode_frames_from_raster_matches_planar():
+# Geometry sweep for the single-pass frame kernels.  Beyond the aligned
+# cases: 1000 px = 125 block cols (not a 16 multiple: lane padding +
+# in-graph crop in play) and 35x75 = partial edge blocks (in-graph
+# pad_raster_to_blocks replication quirks).
+_FRAME_GEOMETRIES = [(64, 128, 3, True), (48, 128, 1, False),
+                     (32, 256, 4, True), (16, 1000, 3, True),
+                     (35, 75, 3, True)]
+
+
+@pytest.mark.parametrize("h,w,c,use_ycbcr", _FRAME_GEOMETRIES)
+def test_encode_frames_from_raster_matches_planar(h, w, c, use_ycbcr):
     """Single-pass fused encode (in-kernel unpack/YCbCr/low-res sampling/
     phase compensation/de-rasterize/WHT/quantize/map) vs the multi-pass
     XLA path: byte-identical FRES planes and sample grids."""
@@ -67,29 +78,28 @@ def test_encode_frames_from_raster_matches_planar():
     from himg_tpu.pipeline.encode import EncodeTables, _encode_device_planar
     from himg_tpu.utils.synth import pack_rgbx, synth_frames
 
-    for (h, w, c, use_ycbcr) in [(64, 128, 3, True), (48, 128, 1, False),
-                                 (32, 256, 4, True)]:
-        b, q = 2, 55
-        frames = synth_frames(b, h, w, c, seed=h + w + c)
-        packed = frames[..., 0] if c == 1 else pack_rgbx(frames)
-        et = EncodeTables(q, use_ycbcr, c)
-        chans = jnp.asarray(np.moveaxis(frames, -1, 1))
-        ref = jax.vmap(partial(_encode_device_planar, use_ycbcr=use_ycbcr,
-                               use_pallas=False),
-                       in_axes=(0, None, None, None, None))(
-                           chans, *et.device_args())
-        pc = jax.vmap(yc.rgb_to_ycbcr_planar)(chans) if use_ycbcr else chans
-        ref_grids = np.asarray(jax.vmap(jax.vmap(lowres.sample_image))(pc))
-        shift_zz = et.shift_tables[:, np.asarray(tables.ZIGZAG)]
-        fres, grids = pk.encode_frames_from_raster(
-            jnp.asarray(packed), jnp.asarray(shift_zz),
-            jnp.asarray(et.fr_mapper.pack_thresholds), c, use_ycbcr,
-            interpret=True)
-        assert np.array_equal(np.asarray(grids), ref_grids)
-        assert np.array_equal(np.asarray(fres), np.asarray(ref[2]))
+    b, q = 2, 55
+    frames = synth_frames(b, h, w, c, seed=h + w + c)
+    packed = frames[..., 0] if c == 1 else pack_rgbx(frames)
+    et = EncodeTables(q, use_ycbcr, c)
+    chans = jnp.asarray(np.moveaxis(frames, -1, 1))
+    ref = jax.vmap(partial(_encode_device_planar, use_ycbcr=use_ycbcr,
+                           use_pallas=False),
+                   in_axes=(0, None, None, None, None))(
+                       chans, *et.device_args())
+    pc = jax.vmap(yc.rgb_to_ycbcr_planar)(chans) if use_ycbcr else chans
+    ref_grids = np.asarray(jax.vmap(jax.vmap(lowres.sample_image))(pc))
+    shift_zz = et.shift_tables[:, np.asarray(tables.ZIGZAG)]
+    fres, grids = pk.encode_frames_from_raster(
+        jnp.asarray(packed), jnp.asarray(shift_zz),
+        jnp.asarray(et.fr_mapper.pack_thresholds), c, use_ycbcr,
+        interpret=True)
+    assert np.array_equal(np.asarray(grids), ref_grids)
+    assert np.array_equal(np.asarray(fres), np.asarray(ref[2]))
 
 
-def test_decode_frames_raster_matches_planar():
+@pytest.mark.parametrize("h,w,c,ycbcr", _FRAME_GEOMETRIES)
+def test_decode_frames_raster_matches_planar(h, w, c, ycbcr):
     """Fused full-frame raster decode (un-zigzag/WHT/predictor/YCbCr/u32
     pack in one kernel) vs the planar decode path, all channel counts."""
     import jax
@@ -98,34 +108,32 @@ def test_decode_frames_raster_matches_planar():
     from himg_tpu.pipeline.encode import EncodeTables, _encode_device
     from himg_tpu.utils.synth import synth_frames
 
-    for (h, w, c, ycbcr) in [(64, 128, 3, True), (48, 128, 1, False),
-                             (32, 256, 4, True)]:
-        b, q = 2, 55
-        frames = synth_frames(b, h, w, c, seed=h + w + c)
-        et = EncodeTables(q, ycbcr, c)
-        pred, delta, fres = jax.vmap(
-            partial(_encode_device, use_ycbcr=ycbcr, use_pallas=False),
-            in_axes=(0, None, None, None, None))(
-                jnp.asarray(frames), *et.device_args())
-        pred_i = jnp.asarray(np.asarray(pred).reshape(b, c, -1))
-        dargs = (jnp.asarray(et.shift_tables),
-                 jnp.asarray(et.fr_mapper.positive),
-                 jnp.asarray(et.lr_mapper.unmap_lut))
-        img = np.asarray(jax.vmap(
-            partial(_decode_device_planar, use_ycbcr=ycbcr,
-                    use_pallas=False),
-            in_axes=(0, 0, 0, None, None, None))(fres, delta, pred_i,
-                                                 *dargs))
-        rows, cols = fres.shape[1], fres.shape[-1]
-        grids = jax.vmap(jax.vmap(lambda d, p: lowres.decode_deltas(
-            d, p, dargs[2], (rows, cols))))(delta, pred_i)
-        shift_zz = et.shift_tables[:, np.asarray(tables.ZIGZAG)]
-        out = np.asarray(pk.decode_frames_raster(
-            fres, grids, jnp.asarray(shift_zz), dargs[1], ycbcr,
-            interpret=True))
-        if c == 1:
-            assert np.array_equal(out, img[:, 0])
-        else:
-            for k in range(c):
-                assert np.array_equal(
-                    ((out >> (8 * k)) & 0xFF).astype(np.uint8), img[:, k])
+    b, q = 2, 55
+    frames = synth_frames(b, h, w, c, seed=h + w + c)
+    et = EncodeTables(q, ycbcr, c)
+    pred, delta, fres = jax.vmap(
+        partial(_encode_device, use_ycbcr=ycbcr, use_pallas=False),
+        in_axes=(0, None, None, None, None))(
+            jnp.asarray(frames), *et.device_args())
+    pred_i = jnp.asarray(np.asarray(pred).reshape(b, c, -1))
+    dargs = (jnp.asarray(et.shift_tables),
+             jnp.asarray(et.fr_mapper.positive),
+             jnp.asarray(et.lr_mapper.unmap_lut))
+    img = np.asarray(jax.vmap(
+        partial(_decode_device_planar, use_ycbcr=ycbcr,
+                use_pallas=False),
+        in_axes=(0, 0, 0, None, None, None))(fres, delta, pred_i,
+                                             *dargs))
+    rows, cols = fres.shape[1], fres.shape[-1]
+    grids = jax.vmap(jax.vmap(lambda d, p: lowres.decode_deltas(
+        d, p, dargs[2], (rows, cols))))(delta, pred_i)
+    shift_zz = et.shift_tables[:, np.asarray(tables.ZIGZAG)]
+    out = np.asarray(pk.decode_frames_raster(
+        fres, grids, jnp.asarray(shift_zz), dargs[1], ycbcr,
+        interpret=True))
+    if c == 1:
+        assert np.array_equal(out, img[:, 0])
+    else:
+        for k in range(c):
+            assert np.array_equal(
+                ((out >> (8 * k)) & 0xFF).astype(np.uint8), img[:, k])
