@@ -164,6 +164,12 @@ def inner(degraded: bool):
     import jax
     import jax.numpy as jnp
     from himg_tpu.pipeline.batch import BatchCodec
+    # The env vars at module top are read at jax's (possibly earlier,
+    # sitecustomize-driven) import; the config API applies regardless.
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).parent / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.devices()
     init_done.set()
     log(f"device runtime up ({jax.default_backend()})")

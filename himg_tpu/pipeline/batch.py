@@ -296,6 +296,9 @@ class BatchCodec:
             # Symmetric with the packed c==1 input shape: no channel axis.
             img = flat.reshape(-1, h8, w8)
         else:
-            # Zero-copy byte view of the packed-u32 transfer buffer.
-            img = flat.view(np.uint8).reshape(-1, h8, w8, 4)[..., :self.c]
+            # Byte view of the packed-u32 transfer buffer (zero-copy when
+            # contiguous; see decode.py -- the axon client can return a
+            # strided view for in-graph-cropped widths).
+            img = np.ascontiguousarray(flat).view(np.uint8).reshape(
+                -1, h8, w8, 4)[..., :self.c]
         return img[:, :self.h, :self.w]

@@ -223,9 +223,12 @@ def decode(data: bytes, max_threads: int = 0) -> np.ndarray:
         if c == 1:
             img = packed[..., None]
         else:
-            # Zero-copy byte view of the packed-u32 raster buffer.
-            img = packed.view(np.uint8).reshape(rows * 8, cols * 8,
-                                                4)[..., :c]
+            # Byte view of the packed-u32 raster buffer (zero-copy when
+            # contiguous; the axon client hands back a *strided* host view
+            # for widths the kernel cropped in-graph, where .view raises --
+            # ascontiguousarray no-ops on every other backend/geometry).
+            img = np.ascontiguousarray(packed).view(np.uint8).reshape(
+                rows * 8, cols * 8, 4)[..., :c]
         return img[:header.height, :header.width, :]
     img = _decode_device(
         jnp.asarray(fres), jnp.asarray(delta_grids), jnp.asarray(pred_ids),

@@ -45,6 +45,8 @@ def log(msg):
 def main():
     import jax
     import jax.numpy as jnp
+    from himg_tpu.utils.profiling import enable_persistent_cache
+    enable_persistent_cache()
     from himg_tpu.pipeline.batch import BatchCodec
     from himg_tpu.pipeline.encode import assemble_container
     from himg_tpu.pipeline.decode import parse_container

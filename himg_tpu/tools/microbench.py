@@ -31,7 +31,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.profiling import device_sync
+from ..utils.profiling import device_sync, enable_persistent_cache
+
+enable_persistent_cache()
 
 
 def _timeit(fn, *args, iters: int = 8, warmup: int = 2,

@@ -28,6 +28,9 @@ def _run_checks(log):
     import jax.numpy as jnp
     import numpy as np
 
+    from ..utils.profiling import enable_persistent_cache
+    enable_persistent_cache()
+
     from ..format import tables
     from ..ops import lowres
     from ..ops import pallas_kernels as pk

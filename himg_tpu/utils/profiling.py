@@ -37,6 +37,24 @@ def device_sync(x) -> None:
     np.asarray(x.reshape(-1)[:8])
 
 
+def enable_persistent_cache(path=None) -> None:
+    """Turn on the persistent compile cache via the config API.
+
+    The JAX_COMPILATION_CACHE_DIR env var is read once at jax import; on
+    hosts where a sitecustomize pre-imports jax (this harness), setting it
+    in-process is silently too late and every program recompiles each run.
+    The config API applies at any time before the first compile.
+    """
+    import pathlib
+
+    import jax
+    if path is None:
+        path = pathlib.Path(__file__).resolve().parents[2] / ".jax_cache"
+    jax.config.update("jax_compilation_cache_dir", str(path))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 class Timer:
     """Accumulating stage timer: `with timer("stage"): ...`."""
 

@@ -27,6 +27,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# The cache env vars above are likewise too late under sitecustomize (jax
+# read them at its pre-import), leaving the persistent compile cache
+# silently DISABLED: every geometry recompiled on every suite run
+# (~9 s per program on XLA-CPU; measured 2026-08-19, the bulk of a 34-min
+# suite).  The config API works after import.
+jax.config.update("jax_compilation_cache_dir", str(_CACHE))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import pytest
 

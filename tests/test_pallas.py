@@ -61,10 +61,17 @@ def test_decode_rows_matches_xla():
 # Geometry sweep for the single-pass frame kernels.  Beyond the aligned
 # cases: 1000 px = 125 block cols (not a 16 multiple: lane padding +
 # in-graph crop in play) and 35x75 = partial edge blocks (in-graph
-# pad_raster_to_blocks replication quirks).
-_FRAME_GEOMETRIES = [(64, 128, 3, True), (48, 128, 1, False),
-                     (32, 256, 4, True), (16, 1000, 3, True),
-                     (35, 75, 3, True)]
+# pad_raster_to_blocks replication quirks).  Interpret-mode Pallas on CPU
+# is execution-bound (~30-110 s per geometry), so all but the smallest
+# aligned case carry the `slow` marker: the default suite runs everything,
+# `-m "not slow"` keeps one fused-kernel check in the quick verify loop.
+_slow = pytest.mark.slow
+_FRAME_GEOMETRIES = [(16, 128, 3, True),
+                     pytest.param(32, 128, 3, True, marks=_slow),
+                     pytest.param(24, 128, 1, False, marks=_slow),
+                     pytest.param(16, 256, 4, True, marks=_slow),
+                     pytest.param(16, 1000, 3, True, marks=_slow),
+                     pytest.param(35, 75, 3, True, marks=_slow)]
 
 
 @pytest.mark.parametrize("h,w,c,use_ycbcr", _FRAME_GEOMETRIES)

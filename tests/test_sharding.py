@@ -55,6 +55,7 @@ def test_sharded_image_decode_uneven_rows(mesh8):
     assert np.array_equal(out, himg_tpu.decode(blob))
 
 
+@pytest.mark.slow
 def test_multihost_sharded_assembly(tmp_path):
     """Two jax.distributed processes (4 CPU devices each) encode one image
     over the global 8-way "rows" mesh; the sharded entropy assembly runs
@@ -90,6 +91,22 @@ def test_multihost_sharded_assembly(tmp_path):
     assert blobs[0] == blobs[1]
     img = make_image(128, 64, 3, seed=77)
     assert blobs[0] == himg_tpu.encode(img, 60, True)
+
+
+@pytest.mark.slow
+def test_sharded_2k_roundtrip(mesh8):
+    """Config 5 at mid scale, in the default suite (VERDICT r3 item 7):
+    2048x1088 (256 columns, 136 block rows over 8 shards -- uneven, 17
+    rows/shard) sharded encode byte-identical to the single-device
+    encoder, sharded decode pixel-identical to the single-device decoder.
+    The literal-8K variant below stays env-gated; this keeps the 4K/8K
+    code path continuously exercised at a size the CPU mesh finishes in
+    minutes (compile-cache-warm: seconds)."""
+    img = make_image(1088, 2048, 3, seed=9)
+    blob = sharding.encode_image_sharded(mesh8, img, 50, True)
+    assert blob == himg_tpu.encode(img, 50, True)
+    out = sharding.decode_image_sharded(mesh8, blob)
+    assert np.array_equal(out, himg_tpu.decode(blob))
 
 
 @pytest.mark.skipif("HIMG_BIG_TESTS" not in __import__("os").environ,

@@ -1,7 +1,16 @@
-"""Shared test helpers: oracle invocation and test-image generation."""
+"""Shared test helpers: oracle invocation and test-image generation.
+
+Oracle invocations are memoized content-addressed under
+``build-ref/oracle_cache`` (the reference C++ is deterministic integer
+code, so outputs are stable golden files): repeated suite runs and the
+encode/decode test pairs that share a config skip the process spawn and
+the reference encode entirely.  Delete the directory to force live
+regeneration against the oracle binaries.
+"""
 
 from __future__ import annotations
 
+import hashlib
 import subprocess
 
 import numpy as np
@@ -18,17 +27,30 @@ def make_image(h: int, w: int, c: int, seed: int = 7, noise: float = 20.0):
     return img.astype(np.uint8)
 
 
+def _cache_path(oracle_dir, kind: str, payload: bytes):
+    d = oracle_dir / "oracle_cache"
+    d.mkdir(exist_ok=True)
+    return d / f"{kind}-{hashlib.sha1(payload).hexdigest()}.bin"
+
+
 def oracle_encode(oracle_dir, img: np.ndarray, quality: int, use_ycbcr: bool,
                   tmp_path) -> bytes:
+    h, w, c = img.shape
+    key = (f"enc1|{w}x{h}x{c}|{quality}|{int(use_ycbcr)}|".encode()
+           + img.tobytes())
+    cached = _cache_path(oracle_dir, "enc", key)
+    if cached.exists():
+        return cached.read_bytes()
     raw = tmp_path / "in.raw"
     out = tmp_path / "out.himg"
     img.tofile(raw)
-    h, w, c = img.shape
     subprocess.run(
         [str(oracle_dir / "oracle"), "encode", str(raw), str(w), str(h),
          str(c), str(quality), str(int(use_ycbcr)), str(out)],
         check=True, capture_output=True)
-    return out.read_bytes()
+    data = out.read_bytes()
+    cached.write_bytes(data)
+    return data
 
 
 def oracle_decode(oracle_dir, data: bytes, tmp_path):
@@ -39,15 +61,20 @@ def oracle_decode(oracle_dir, data: bytes, tmp_path):
     against the *compressed* size, huffman_dec.h/cpp:221-259) -- callers
     treat None as 'reference bug, skip comparison'.
     """
-    inp = tmp_path / "in.himg"
-    out = tmp_path / "out.raw"
-    inp.write_bytes(data)
-    proc = subprocess.run(
-        [str(oracle_dir / "oracle"), "decode", str(inp), str(out)],
-        capture_output=True)
-    if proc.returncode != 0:
+    cached = _cache_path(oracle_dir, "dec", data)
+    if cached.exists():
+        d = cached.read_bytes()
+    else:
+        inp = tmp_path / "in.himg"
+        out = tmp_path / "out.raw"
+        inp.write_bytes(data)
+        proc = subprocess.run(
+            [str(oracle_dir / "oracle"), "decode", str(inp), str(out)],
+            capture_output=True)
+        d = out.read_bytes() if proc.returncode == 0 else b""
+        cached.write_bytes(d)
+    if not d:
         return None
-    d = out.read_bytes()
     w, h, c = np.frombuffer(d[:12], dtype=np.uint32)
     return np.frombuffer(d[12:], dtype=np.uint8).reshape(h, w, c)
 
