@@ -146,6 +146,13 @@ def main(argv=None) -> int:
                          "site-packages) instead of the synthetic corpus")
     ap.add_argument("--qualities", type=str,
                     default="10,20,30,40,50,60,70,80,90,95")
+    ap.add_argument("--downscale", type=int, default=1,
+                    help="Lanczos-downscale corpus images by this factor "
+                         "before the sweep.  The bundled photos are "
+                         "JPEG-sourced; rate-matched JPEG re-codes its own "
+                         "8x8 artifacts near-losslessly, biasing the delta. "
+                         "Downscaling breaks that block alignment, giving "
+                         "statistics closer to raw camera output.")
     ap.add_argument("--json", action="store_true", help="machine output")
     ap.add_argument("--vs-jpeg", action="store_true",
                     help="add a rate-matched libjpeg (PIL) comparison point "
@@ -167,6 +174,12 @@ def main(argv=None) -> int:
     if not imgs:
         print("no images found", file=sys.stderr)
         return 1
+    if args.downscale > 1:
+        from PIL import Image
+        f = args.downscale
+        imgs = [np.asarray(Image.fromarray(im).resize(
+            (im.shape[1] // f, im.shape[0] // f), Image.LANCZOS))
+            for im in imgs]
 
     qualities = [int(q) for q in args.qualities.split(",")]
     curve = []
