@@ -84,23 +84,31 @@ def block_histograms(blocks: jnp.ndarray) -> jnp.ndarray:
 
     lit = _literal_hist(x)
 
-    # ---- short runs: sliding AND chain -> min(run_len, 23) at run starts.
+    # ---- short runs.  The RLE bins only need run-length >= k masks at
+    # k in {2, 3, 7, 23} (bin(a..b) = count(>=a) - count(>=b+1)), built by
+    # log-doubling in ~9 boolean shift-AND passes instead of a 23-term
+    # sliding chain with an int8 length accumulator (those 40+ full-size
+    # passes dominated the fused encode program's device time).
     start = z & ~jnp.concatenate(
         [jnp.zeros((r, 1), bool), z[:, :-1]], axis=1)
-    c = z
-    slen = z.astype(jnp.int8)
-    for j in range(1, 23):
-        c = c & _shift_left(z, j)
-        slen = slen + c.astype(jnp.int8)
-    sl = jnp.where(start, slen, 0).astype(jnp.int32)
+    a2 = z & _shift_left(z, 1)            # >= 2 zeros from here
+    a3 = a2 & _shift_left(z, 2)
+    a4 = a2 & _shift_left(a2, 2)
+    a7 = a4 & _shift_left(a3, 4)
+    a8 = a4 & _shift_left(a4, 4)
+    a16 = a8 & _shift_left(a8, 8)
+    a23 = a16 & _shift_left(a7, 16)
 
-    def cnt(lo, hi):
-        return ((sl >= lo) & (sl <= hi)).astype(jnp.int32).sum(axis=1)
+    def cnt_ge(mask):
+        # bool & bool -> i32 reduce fuses without materializing int32.
+        return (start & mask).astype(jnp.int32).sum(axis=1)
 
-    h0_short = cnt(1, 1)
-    h256 = cnt(2, 2)
-    h257 = cnt(3, 6)
-    h258 = cnt(7, 22)
+    c1 = start.astype(jnp.int32).sum(axis=1)
+    c2, c3, c7, c23 = cnt_ge(a2), cnt_ge(a3), cnt_ge(a7), cnt_ge(a23)
+    h0_short = c1 - c2                    # exact length 1
+    h256 = c2 - c3                        # exact length 2
+    h257 = c3 - c7                        # 3..6
+    h258 = c7 - c23                       # 7..22 (>= 23: word level below)
 
     # ---- long runs (>= 23): word-level enumeration.
     lw = l // 8

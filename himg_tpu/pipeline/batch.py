@@ -105,6 +105,18 @@ class BatchCodec:
         fused_enc = (use_pallas and pixel_format == "packed"
                      and c in (1, 3, 4))
 
+        # Per-frame exact token histograms of the FRES planes ride the
+        # encode program as a third output: the host skips its entropy
+        # analysis pass (native.compress_assisted) without paying a second
+        # program dispatch + sync per chunk (one tunnel round-trip here;
+        # one extra kernel launch on PCIe hosts).  Without the native
+        # backend the histogram is unused (compress_py retokenizes), so
+        # the encode program doesn't compute it at all.
+        from ..entropy import native as _native
+        from ..entropy.device_hist import frame_histograms
+        block = self.cols * c * 64
+        self._use_hist = _native.available()
+
         def enc_stage(frames, *targs):
             b = frames.shape[0]
             if fused_enc:
@@ -121,14 +133,18 @@ class BatchCodec:
                 small = jnp.concatenate(
                     [pred.astype(jnp.uint8).reshape(b, -1),
                      delta.reshape(b, -1)], axis=1)
-                return small, fres
-            pred, delta, fres = jax.vmap(
-                partial(_encode_device_planar, use_ycbcr=self.use_ycbcr,
-                        use_pallas=use_pallas),
-                in_axes=(0, None, None, None, None))(to_planar(frames),
-                                                     *targs)
-            small = jnp.concatenate([pred.astype(jnp.uint8).reshape(b, -1),
-                                     delta.reshape(b, -1)], axis=1)
+            else:
+                pred, delta, fres = jax.vmap(
+                    partial(_encode_device_planar, use_ycbcr=self.use_ycbcr,
+                            use_pallas=use_pallas),
+                    in_axes=(0, None, None, None, None))(to_planar(frames),
+                                                         *targs)
+                small = jnp.concatenate(
+                    [pred.astype(jnp.uint8).reshape(b, -1),
+                     delta.reshape(b, -1)], axis=1)
+            if self._use_hist:
+                hist = frame_histograms(fres.reshape(b, -1), block)
+                return small, fres, hist
             return small, fres
 
         # Fused full-frame decode (decode_frame_raster): one Pallas pass
@@ -165,16 +181,8 @@ class BatchCodec:
 
         self._enc = jax.jit(enc_stage)
         self._dec = jax.jit(dec_stage)
-        # Per-frame exact token histograms of the FRES planes: lets the
-        # host skip its entropy analysis pass (native.compress_assisted).
-        # A separate program chained on _enc's output: its cost belongs to
-        # the entropy stage, not the transform stage (bench.py accounting).
-        # Without the native backend the histogram is unused (compress_py
-        # retokenizes), so skip the device pass entirely.
-        from ..entropy import native as _native
-        from ..entropy.device_hist import frame_histograms
-        block = self.cols * c * 64
-        self._use_hist = _native.available()
+        # Standalone histogram program (tools/tests that only have FRES
+        # planes); the production path gets it fused into _enc above.
         self._hist = jax.jit(lambda fres: frame_histograms(
             fres.reshape(fres.shape[0], -1), block))
 
@@ -238,8 +246,9 @@ class BatchCodec:
         with ThreadPoolExecutor(max_workers=1) as pool:
             pending = None
             for ch in chunks:
-                small, fres = self._enc(jnp.asarray(ch), *targs)  # async
-                hists = self._hist(fres) if self._use_hist else None
+                outs = self._enc(jnp.asarray(ch), *targs)  # async
+                (small, fres), hists = outs[:2], (
+                    outs[2] if self._use_hist else None)
                 if pending is not None:
                     blobs.extend(pending.result())
                 pending = pool.submit(entropy_stage, small, fres, hists,
