@@ -49,6 +49,14 @@ def _shift_left(m: jnp.ndarray, j: int, fill=False) -> jnp.ndarray:
     return jnp.concatenate([m[:, j:], pad], axis=1)
 
 
+def _shift_right(m: jnp.ndarray, j: int, fill=False) -> jnp.ndarray:
+    """m[:, i-j] with `fill` before the start (axis 1)."""
+    if j == 0:
+        return m
+    pad = jnp.full(m.shape[:1] + (j,), fill, m.dtype)
+    return jnp.concatenate([pad, m[:, :-j]], axis=1)
+
+
 def _literal_hist(x: jnp.ndarray) -> jnp.ndarray:
     """[R, L] u8 -> [R, 256] i32 byte-value histogram (bin 0 = all zero
     bytes; the caller overwrites it with the single-zero count).
@@ -110,27 +118,34 @@ def block_histograms(blocks: jnp.ndarray) -> jnp.ndarray:
     h257 = c3 - c7                        # 3..6
     h258 = c7 - c23                       # 7..22 (>= 23: word level below)
 
-    # ---- long runs (>= 23): word-level enumeration.
+    # ---- long runs (>= 23): word-level enumeration.  Everything at word
+    # granularity derives from the byte-level >=k masks via stride-8
+    # slices -- no ops on a [r, lw, 8] minor-8 layout (the cumprod-based
+    # lead/trail counts there dominated this section's device time).
     lw = l // 8
-    zw = z.reshape(r, lw, 8)
-    w_zero = zw.all(axis=2)                                  # all-zero words
+    a5 = a4 & _shift_left(z, 4)
+    a6 = a4 & _shift_left(a2, 4)
+    # s8[i] = min(zeros starting at i, 8); t8[i] = min(zeros ending at i, 8).
+    zge = (z, a2, a3, a4, a5, a6, a7, a8)
+    s8 = sum(m.astype(jnp.int8) for m in zge)
+    t8 = sum(_shift_right(m, k).astype(jnp.int8) for k, m in enumerate(zge))
+    w_zero = a8.reshape(r, lw, 8)[:, :, 0]                   # all-zero words
     # lead/trail zero-byte counts per word (<= 7 where the word has a
     # nonzero byte, which is the only place they are read).
-    lead = jnp.cumprod(zw.astype(jnp.int8), axis=2).sum(axis=2)
-    trail = jnp.cumprod(zw[:, :, ::-1].astype(jnp.int8), axis=2).sum(axis=2)
+    lead = s8.reshape(r, lw, 8)[:, :, 0]
+    trail = t8.reshape(r, lw, 8)[:, :, 7]
 
     seg_start = w_zero & ~jnp.concatenate(
         [jnp.zeros((r, 1), bool), w_zero[:, :-1]], axis=1)
     iota_w = jnp.arange(lw, dtype=jnp.int32)
-    # First non-all-zero word index at >= w (lw when none): reversed cummin.
-    nzw = jnp.where(~w_zero, iota_w, lw)
-    next_nz = jax.lax.cummin(nzw[:, ::-1], axis=1)[:, ::-1]
-    swl = next_nz - iota_w                                   # seg word count
-    # lead[] of that first non-all-zero word, via an index-tagged backward
-    # fill (lead <= 7 fits 4 bits under the index tag).
+    # Index-tagged backward fill, one reversed cummin: the tag packs the
+    # word index above its lead count (lead <= 7 fits 4 bits), so the
+    # minimum simultaneously yields the first non-all-zero word index at
+    # >= w (rtag >> 4) and that word's lead count (rtag & 15).
     big = lw * 16 + 15
     tag = jnp.where(~w_zero, iota_w * 16 + lead.astype(jnp.int32), big)
     rtag = jax.lax.cummin(tag[:, ::-1], axis=1)[:, ::-1]
+    swl = (rtag >> 4) - iota_w                               # seg word count
     nxt_lead = jnp.where(rtag < big, rtag & 15, 0)
     trail_prev = jnp.concatenate(
         [jnp.zeros((r, 1), jnp.int32), trail.astype(jnp.int32)[:, :-1]],
