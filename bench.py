@@ -220,7 +220,7 @@ def inner(degraded: bool):
             "sustained = host entropy stage only")
     else:
         n_iter = 4
-        dev_enc = 1e9
+        dev_enc = dev_dec = 1e9
         for _ in range(3):  # best-of-3 guards against tunnel stalls
             t0 = time.perf_counter()
             for _ in range(n_iter):
@@ -235,7 +235,6 @@ def inner(degraded: bool):
         fres_dev2 = jax.device_put(fres_h)
         img_dev = codec._dec(small_dev, fres_dev2, *dec_args)
         sync(img_dev)
-        dev_dec = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(n_iter):
@@ -291,7 +290,25 @@ def inner(degraded: bool):
         "unit": "MPix/s",
         "vs_baseline": round(sustained / ref, 2),
         "median_across_windows": round(sustained_median, 2),
+        # Stage breakdown in the parsed artifact (VERDICT r4 item 2):
+        # the round-4 encode regression was visible only in free-text
+        # stderr; these mirror the reference's published min/max/avg
+        # protocol (benchmark.cpp:151-154) at per-stage granularity.
+        # Device times are per 16x1080p chunk; entropy times per frame.
+        "ent_enc_ms": round(ent_enc * 1000 / BATCH, 2),
+        "ent_dec_ms": round(ent_dec * 1000 / BATCH, 2),
+        "ent_enc_ms_median": round(
+            statistics.median(enc_s) * 1000 / BATCH, 2),
+        "ent_dec_ms_median": round(
+            statistics.median(dec_s) * 1000 / BATCH, 2),
+        "bpp": round(8 * ratio, 4),
+        "bytes_per_px": round(ratio, 4),
     }
+    if not degraded:
+        result["dev_enc_ms"] = round(dev_enc * 1000, 2)
+        result["dev_dec_ms"] = round(dev_dec * 1000, 2)
+        result["dev_enc_gpix_s"] = round(pix / dev_enc / 1e9, 3)
+        result["dev_dec_gpix_s"] = round(pix / dev_dec / 1e9, 3)
     if degraded:
         result["degraded"] = True
     print(json.dumps(result))

@@ -171,6 +171,38 @@ def block_histograms(blocks: jnp.ndarray) -> jnp.ndarray:
 block_histograms_jit = jax.jit(block_histograms)
 
 
+def frame_literal_hists(fres_flat: jnp.ndarray,
+                        seg: int = 7680) -> jnp.ndarray:
+    """Per-frame literal byte histograms: [B, N] uint8 -> [B, 256] i32
+    (bin 0 = zero-byte count, discarded by callers).
+
+    The nibble-pair one-hot MXU contraction of _literal_hist over
+    segments of `seg` bytes, summed per frame.  Segmenting only shapes
+    the batched matmul (any seg that divides into 8-byte words is
+    exact); v5e probes on the 16x1080p batch: seg=7680 +6.6 ms,
+    seg=61440 +9.1, seg=1044480 +12.6 over the histogram-less encode
+    program -- shorter K / more batch spreads the tiny [16, L] x
+    [L, 16] products across MXUs.  Formulations that pack positions
+    into wider operand tiles made XLA materialize the one-hot at full
+    size (a 51 GB s32 allocation), so the plain batched form stays.
+    """
+    b, n = fres_flat.shape
+    while n % seg:                       # any remainder: fall back to
+        seg //= 2                        # a divisor (still word-aligned)
+        if seg < 8:
+            seg = n
+    return _literal_hist(fres_flat.reshape(-1, seg)).reshape(
+        b, -1, 256).sum(axis=1)
+
+
+def assemble_hists(run_bins: jnp.ndarray, lit: jnp.ndarray) -> jnp.ndarray:
+    """Per-frame [*, 6] kernel run bins (h0, h256..h260; summed over a
+    rows axis if 3-D) + [B, 256] literal histograms -> [B, 261] token
+    histograms (the frame_histograms contract)."""
+    rb = run_bins.sum(axis=1) if run_bins.ndim == 3 else run_bins
+    return jnp.concatenate([rb[:, :1], lit[:, 1:], rb[:, 1:6]], axis=1)
+
+
 def frame_histograms(fres: jnp.ndarray, block_size: int) -> jnp.ndarray:
     """[..., bytes] uint8 FRES planes -> per-frame [B, 261] histograms.
 

@@ -378,8 +378,243 @@ def _encode_channel_tile(pix, la, lb, lc, ld, shift_col, th_vec):
     return wire.astype(jnp.uint8)
 
 
+_KMAX_RUN = 16662  # reference RLE chunk bound (huffman_enc.cpp kMaxRun)
+
+
+def _run_bins_tile(wire, cols: int):
+    """Exact RLE run-class counts of one substream tile, in VMEM.
+
+    wire: [RR, LP] int32 wire bytes of ONE substream in stream order =
+    row-major over [:, :cols] (lanes >= cols are padding with arbitrary
+    values, ignored).  Returns 6 int32 scalars
+    (h0, h256, h257, h258, h259, h260): the count of single zeros
+    (token alphabet symbol 0) and of the five zero-run classes, with
+    the reference tokenizer's exact semantics (huffman_enc.cpp:246-300
+    via entropy/device_hist.py): maximal runs split into chunks of
+    <= kMaxRun=16662, chunk remainder 1 counts as a single zero, runs
+    never cross the substream boundary.
+
+    Decomposition (everything elementwise + lane rolls, no scans):
+
+    * interior runs (start after lane 0, end before lane cols-1 of a
+      row) are classified by within-row >=k masks built by log
+      doubling — they can never cross a row, so lane shifts that
+      truncate at the row end are exact for them;
+    * runs touching a row edge are merged at ROW granularity: per-row
+      lead/trail zero counts (prefix/suffix AND chains) move to a
+      [1, RR] lane vector via a tiny MXU transpose, where maximal
+      cross-row runs are enumerated with the index-tagged suffix-min
+      trick of device_hist.block_histograms (words -> rows).
+
+    Requires cols <= 16384 (callers fall back to the XLA histogram
+    beyond that; interior runs then stay < kMaxRun so only merged runs
+    need chunk splitting).
+    """
+    if cols > 16384:
+        raise ValueError("_run_bins_tile supports cols <= 16384")
+    rr, lp = wire.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rr, lp), 1)
+    # 0/1 int32 masks: int8 chains would be 4x less vector work but the
+    # v5e Mosaic backend crashes lowering rolls/selects on them
+    # (remote-compile HTTP 500, probed round 5).
+    z = jnp.where(jnp.logical_and(wire == 0, lane < cols), 1, 0)
+
+    def shl_false(x, j):
+        """x[:, l+j] within-row: 0 past lane cols-1, no wraparound."""
+        rolled = pltpu.roll(x, lp - j, axis=1)
+        return jnp.where(lane < cols - j, rolled, 0)
+
+    # ---- within-row >=k masks by binary composition:
+    # ge[a+b][s] = ge[a][s] & ge[b][s+a].
+    ge = {1: z}
+
+    def ge_mask(k):
+        if k not in ge:
+            half = 1 << (k.bit_length() - 1)
+            if half == k:
+                g = ge_mask(k // 2)
+                ge[k] = g & shl_false(g, k // 2)
+            else:
+                ge[k] = ge_mask(half) & shl_false(ge_mask(k - half), half)
+        return ge[k]
+
+    # ---- interior runs.  Max interior length is cols-2 (< 279 unless
+    # the row is wide enough to hold one), always < kMaxRun for the
+    # supported cols, so no chunk splitting here.
+    prev_z = jnp.where(lane > 0, pltpu.roll(z, 1, axis=1), 0)
+    start = z & (1 - prev_z)
+    # First/last nonzero lane per row, by one min/max reduction each:
+    # they give lead/trail/reach directly (the log-doubling prefix- and
+    # suffix-AND chains they replace were ~32 full-tile passes).
+    nz = (1 - z) & jnp.where(lane < cols, 1, 0)
+    first_nz = jnp.min(jnp.where(nz == 1, lane, cols),
+                       axis=1, keepdims=True)                   # [RR, 1]
+    last_nz = jnp.max(jnp.where(nz == 1, lane, -1),
+                      axis=1, keepdims=True)
+    # reach[l]: zeros all the way to lane cols-1.
+    reach = jnp.where(lane > last_nz, 1, 0)
+    interior = start & jnp.where(lane > 0, 1, 0) & (1 - reach)
+
+    def cnt(m):
+        return jnp.sum(m, dtype=jnp.int32)
+
+    ci = {k: cnt(interior & ge_mask(k)) for k in (2, 3, 7, 23)}
+    ci[1] = cnt(interior)
+    h0 = ci[1] - ci[2]
+    h256 = ci[2] - ci[3]
+    h257 = ci[3] - ci[7]
+    h258 = ci[7] - ci[23]
+    if cols >= 281:
+        ci[279] = cnt(interior & ge_mask(279))
+        h259 = ci[23] - ci[279]
+        h260 = ci[279]
+    else:
+        h259 = ci[23]
+        h260 = jnp.int32(0)
+
+    # ---- per-row lead/trail zero counts as [RR, 1] column vectors.
+    # The cross-row merge below runs in sublane orientation (axis-0
+    # rolls): no sublane->lane transpose exists on the VPU, and the
+    # vectors are tiny, so wasting lanes is free.
+    lead_r = first_nz                          # all-zero row: cols
+    trail_r = cols - 1 - last_nz               # all-zero row: cols
+
+    # ---- edge-touching runs at row granularity.
+    riota = jax.lax.broadcasted_iota(jnp.int32, (rr, 1), 0)
+    full = jnp.where(lead_r >= cols, 1, 0)
+    nf = 1 - full
+
+    def r_next(x, fill):
+        rolled = pltpu.roll(x, rr - 1, axis=0)
+        return jnp.where(riota == rr - 1, fill, rolled)
+
+    def r_prev(x, fill):
+        rolled = pltpu.roll(x, 1, axis=0)
+        return jnp.where(riota == 0, fill, rolled)
+
+    # Segments of full rows: each maximal run containing >= 1 full row
+    # = trail of the preceding non-full row + cols * (full rows) + lead
+    # of the next non-full row (device_hist's word trick, words = rows;
+    # 16-bit tag packs the row index above its lead count).
+    seg_start = full & (1 - r_prev(full, 0))
+    lead_nf = jnp.where(full == 1, 0, lead_r)
+    big = rr * 65536 + 65535
+    tag = jnp.where(full == 1, big, riota * 65536 + lead_nf)
+    rtag = tag
+    j = 1
+    while j < rr:
+        rolled = pltpu.roll(rtag, rr - j, axis=0)
+        rtag = jnp.minimum(rtag, jnp.where(riota < rr - j, rolled, big))
+        j *= 2
+    swl = (rtag >> 16) - riota
+    nxt_lead = jnp.where(rtag < big, rtag & 65535, 0)
+    len_seg = r_prev(trail_r, 0) + cols * swl + nxt_lead
+
+    # Boundary runs with no full row: owned by the trailing row (or, at
+    # the stream start / after a zero-free boundary, by their lead row).
+    next_nf = r_next(nf, 1)
+    own_t = nf & jnp.where(trail_r > 0, 1, 0) & next_nf
+    len_t = trail_r + r_next(lead_nf, 0)
+    own_l = nf & jnp.where(lead_r > 0, 1, 0) \
+        & jnp.where(r_prev(trail_r, 0) == 0, 1, 0)
+
+    max_len = rr * cols
+    bins = [h0, h256, h257, h258, h259, h260]
+    for valid, length in ((seg_start, len_seg), (own_t, len_t),
+                          (own_l, lead_r)):
+        le = jnp.where(valid == 1, length, 0)
+        if max_len < _KMAX_RUN:
+            n_full = jnp.zeros_like(le)
+        elif max_len // _KMAX_RUN <= 8:
+            n_full = sum((le >= k * _KMAX_RUN).astype(jnp.int32)
+                         for k in range(1, max_len // _KMAX_RUN + 1))
+        else:
+            n_full = le // _KMAX_RUN
+        rem = le - _KMAX_RUN * n_full
+        bins[0] += cnt((rem == 1).astype(jnp.int32))
+        bins[1] += cnt((rem == 2).astype(jnp.int32))
+        bins[2] += cnt(((rem >= 3) & (rem <= 6)).astype(jnp.int32))
+        bins[3] += cnt(((rem >= 7) & (rem <= 22)).astype(jnp.int32))
+        bins[4] += cnt(((rem >= 23) & (rem <= 278)).astype(jnp.int32))
+        bins[5] += cnt(n_full) + cnt((rem >= 279).astype(jnp.int32))
+    return bins
+
+
+def _run_bins_vec(wire, cols: int):
+    """_run_bins_tile packed into a [1, 128] int32 lane row (lanes 0-5 =
+    h0, h256..h260; the rest zero) for a kernel output tile."""
+    bins = _run_bins_tile(wire, cols)
+    il = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    out = jnp.zeros((1, 128), jnp.int32)
+    for k, b in enumerate(bins):
+        out = out + jnp.where(il == k, b, 0)
+    return out
+
+
+def _literal_grid_tile(wire, cols: int):
+    """Literal byte-value counts of one wire tile as a packed [128, 128]
+    int32 grid, in VMEM.
+
+    wire: [RR, LP] int32 wire bytes (RR a multiple of 8; lanes >= cols
+    are padding and are folded into byte value 0, whose bin callers
+    discard -- single-zero counts come from the run bins).  Returns
+    grid[8*vh + g, 8*vl + g] = count of bytes with high nibble vh and
+    low nibble vl among sublanes s with s % 8 == g; entries with
+    mismatched g are cross-byte coincidence counts to be discarded
+    (see literal_grid_to_hist).
+
+    Formulation: the nibble-pair one-hot MXU contraction of
+    device_hist._literal_hist, but with 8 sublane groups packed into
+    the 128-lane value axis so the one-hot operands are full MXU tiles
+    that never leave VMEM.  The XLA formulation materializes the
+    [N, 16] one-hots through HBM -- 32 bytes of traffic per wire byte,
+    +6.6 ms per 16x1080p on a v5e even at the best probed segmenting --
+    while here the only HBM cost is the [128, 128] per-frame
+    accumulator.  MXU work is 2048 MACs/byte (the 8x diagonal-block
+    redundancy is the price of full 128-wide tiles) and overlaps the
+    heavily VPU-bound kernel body.
+    """
+    rr, lp = wire.shape
+    if rr % 8:
+        raise ValueError("wire sublane count must be a multiple of 8")
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rr, lp), 1)
+    w = jnp.where(lane < cols, wire, 0)
+    hi = w >> 4
+    lo = w & 15
+    # Row r of a replicated chunk holds sublane r % 8 and one-hots value
+    # r // 8 (0..15): jnp.tile on the sublane axis is a straight
+    # VMEM-resident copy.  The compare stays in int32 (the v5e Mosaic
+    # backend rejects bf16 vector cmp: "Target does not support this
+    # comparison"); only the resulting mask converts to bfloat16.
+    tgt = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0) >> 3
+    acc = None
+    for s0 in range(0, rr, 8):
+        oh_h = (jnp.tile(hi[s0:s0 + 8], (16, 1)) == tgt) \
+            .astype(jnp.bfloat16)                            # [128, LP]
+        oh_l = (jnp.tile(lo[s0:s0 + 8], (16, 1)) == tgt) \
+            .astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            oh_h, oh_l, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [128, 128]
+        acc = part if acc is None else acc + part
+    # Exact in f32 (counts <= rr * lp << 2**24); i32 out so per-frame
+    # accumulation stays exact at any image size.
+    return acc.astype(jnp.int32)
+
+
+def literal_grid_to_hist(grid: jnp.ndarray) -> jnp.ndarray:
+    """[..., 128, 128] packed literal grids -> [..., 256] i32 byte
+    histograms: sum the 8 matched-group diagonal entries of each
+    (vh, vl) 16x16 block (bin 0 includes lane padding; discarded by
+    assemble_hists in favor of the run bins' single-zero count)."""
+    g4 = grid.reshape(*grid.shape[:-2], 16, 8, 16, 8)
+    return jnp.einsum("...vgwg->...vw", g4).reshape(
+        *grid.shape[:-2], 256)
+
+
 def _make_encode_frame_kernel(c: int, use_ycbcr: bool, rows: int, h: int,
-                              w: int, cols: int, cols_p: int, w8: int):
+                              w: int, cols: int, cols_p: int, w8: int,
+                              with_run_bins: bool = False):
     """Single-pass encode kernel body: one grid step = one block row.
 
     Consumes raw raster packed-u32 pixels (4 halo-clamped block views of
@@ -411,7 +646,7 @@ def _make_encode_frame_kernel(c: int, use_ycbcr: bool, rows: int, h: int,
         return chans
 
     def kernel(rm2_ref, rm1_ref, rc0_ref, rp1_ref, shift_ref, th_ref,
-               wmat_ref, bt_ref, wire_ref, samp_ref):
+               wmat_ref, bt_ref, wire_ref, samp_ref, *maybe_runbin_ref):
         i = pl.program_id(0)
         v = jax.lax.rem(i, rows)
         row8 = jax.lax.broadcasted_iota(jnp.int32, (8, w8), 0)
@@ -506,8 +741,29 @@ def _make_encode_frame_kernel(c: int, use_ycbcr: bool, rows: int, h: int,
             wires.append(_encode_channel_tile(
                 pm, la[ch], lb[ch], lc[ch], ld[ch],
                 shift_ref[0, ch][:, None], th_vec))
-        wire_ref[0] = jnp.concatenate(wires, axis=0)
+        wire_all = jnp.concatenate(wires, axis=0)
+        wire_ref[0] = wire_all
         samp_ref[0] = jnp.clip(comp_v, 0, 255).astype(jnp.uint8)
+        if with_run_bins:
+            # Epilogue: the substream's exact RLE run-class counts and
+            # packed literal counts while its wire bytes still sit in
+            # VMEM (the XLA formulations re-read the 100 MB FRES buffer
+            # and materialize the one-hots through HBM: +12 ms and
+            # +6.6 ms per 16x1080p on a v5e, VERDICT r4/r5 item 1).
+            wire_i32 = wire_all.astype(jnp.int32)
+            maybe_runbin_ref[0][0] = _run_bins_vec(wire_i32, cols)
+            lit_ref = maybe_runbin_ref[1]
+            part = _literal_grid_tile(wire_i32, cols)
+            # The literal block revisits one output block per frame
+            # (index map i -> i // rows): zero-init on the frame's first
+            # row, accumulate on the rest (grid steps run in order).
+            @pl.when(v == 0)
+            def _init():
+                lit_ref[0] = part
+
+            @pl.when(v != 0)
+            def _acc():
+                lit_ref[0] += part
 
     return kernel
 
@@ -540,7 +796,8 @@ def pad_raster_to_blocks(packed: jnp.ndarray, lanes: int) -> jnp.ndarray:
 
 
 def encode_frames_from_raster(packed, shift_zz, thresholds, c: int,
-                              use_ycbcr: bool, interpret: bool = False):
+                              use_ycbcr: bool, interpret: bool = False,
+                              with_run_bins: bool = False):
     """Single-pass fused encode of raster packed frames, any geometry.
 
     packed: uint32 [B, H, W] channel-packed pixels (uint8 [B, H, W] for
@@ -553,6 +810,13 @@ def encode_frames_from_raster(packed, shift_zz, thresholds, c: int,
     multiple (pad lanes feed only discarded block columns), so every
     width takes this kernel at full speed -- matching the reference's
     any-geometry encoder (encoder.cpp:26-52) instead of falling back.
+
+    with_run_bins=True adds two outputs: int32 [B, rows, 6] exact RLE
+    run-class counts per substream (h0, h256..h260 -- see
+    _run_bins_tile) and int32 [B, 256] exact literal byte histograms
+    (bin 0 polluted by lane padding; discarded by assemble_hists), both
+    computed in the kernel epilogue for the assisted entropy encoder.
+    Requires cols <= 16384.
     """
     b, hh, ww = packed.shape
     rows, cols = (hh + 7) >> 3, (ww + 7) >> 3
@@ -580,24 +844,110 @@ def encode_frames_from_raster(packed, shift_zz, thresholds, c: int,
                              memory_space=space)
     samp_spec = pl.BlockSpec((1, c, cols_p), lambda i: (i, 0, 0),
                              memory_space=space)
-    wire, samp = pl.pallas_call(
+    out_specs = [wire_spec, samp_spec]
+    out_shape = [jax.ShapeDtypeStruct((nb, c * 64, cols_p), jnp.uint8),
+                 jax.ShapeDtypeStruct((nb, c, cols_p), jnp.uint8)]
+    if with_run_bins:
+        # 3-D with a unit middle dim: Mosaic requires the second-minor
+        # block dim to divide 8 or equal the array dim.
+        out_specs.append(pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+                                      memory_space=space))
+        out_shape.append(jax.ShapeDtypeStruct((nb, 1, 128), jnp.int32))
+        # Packed literal grid, one block per FRAME: `rows` consecutive
+        # grid steps revisit it and accumulate (zero-init at v == 0).
+        out_specs.append(pl.BlockSpec((1, 128, 128),
+                                      lambda i: (i // rows, 0, 0),
+                                      memory_space=space))
+        out_shape.append(jax.ShapeDtypeStruct((b, 128, 128), jnp.int32))
+    outs = pl.pallas_call(
         _make_encode_frame_kernel(c, use_ycbcr, rows, hh, ww, cols, cols_p,
-                                  w8),
+                                  w8, with_run_bins=with_run_bins),
         grid=(nb,),
         in_specs=[halo(-2), halo(-1), halo(0), halo(1),
                   shift_spec, th_spec, wmat_spec, bt_spec],
-        out_specs=[wire_spec, samp_spec],
-        out_shape=[jax.ShapeDtypeStruct((nb, c * 64, cols_p), jnp.uint8),
-                   jax.ShapeDtypeStruct((nb, c, cols_p), jnp.uint8)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(ras, ras, ras, ras,
       shift_zz.reshape(1, c, 64).astype(jnp.int32),
       thresholds.reshape(1, 1, 127).astype(jnp.int32),
       jnp.asarray(sampling_wmat(ww, cols_p, w8), jnp.bfloat16),
       jnp.asarray(derasterize_bmat(cols_p, w8)))
+    wire, samp = outs[0], outs[1]
     fres = wire.reshape(b, rows, c, 64, cols_p)[..., :cols]
     grids = samp.reshape(b, rows, c, cols_p)[..., :cols].transpose(0, 2, 1, 3)
+    if with_run_bins:
+        return (fres, grids, outs[2].reshape(b, rows, 128)[..., :6],
+                literal_grid_to_hist(outs[3]))
     return fres, grids
+
+
+def _run_bins_call(tiles, cols: int, interpret: bool):
+    """pallas_call over [NB, RR, LP] substream tiles -> [NB, 6] bins."""
+    nb, rr, lp = tiles.shape
+    space = pl.ANY if interpret else pltpu.VMEM
+
+    def kernel(wire_ref, out_ref):
+        out_ref[0] = _run_bins_vec(wire_ref[0].astype(jnp.int32), cols)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((1, rr, lp), lambda i: (i, 0, 0),
+                               memory_space=space)],
+        out_specs=pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+                               memory_space=space),
+        out_shape=jax.ShapeDtypeStruct((nb, 1, 128), jnp.int32),
+        interpret=interpret,
+    )(tiles)
+    return out[:, 0, :6]
+
+
+def run_bins_rows(blocks, interpret: bool = False) -> jnp.ndarray:
+    """Standalone RLE run-class counts of substream tiles.
+
+    blocks: uint8 [NB, RR, cols] -- one substream per leading index, in
+    stream order (row-major, cols minor; RR = channels*64 for FRES
+    planes reshaped [b*rows, c*64, cols]).  Returns int32 [NB, 6]:
+    (h0, h256..h260) per substream, exactly the run-class part of
+    entropy.device_hist.block_histograms.  Used by the non-fused encode
+    path and by tests; the fused raster encode kernel computes the same
+    analysis in its epilogue (encode_frames_from_raster with_run_bins).
+    """
+    nb, rr, cols = blocks.shape
+    return _run_bins_call(pad_cols(blocks), cols, interpret)
+
+
+def literal_hists_rows(blocks, interpret: bool = False) -> jnp.ndarray:
+    """Standalone packed-grid literal byte histograms of wire tiles.
+
+    blocks: uint8 [NB, RR, cols] (RR a multiple of 8).  Returns int32
+    [NB, 256] byte-value counts over [:, :, :cols] (bin 0 excluded from
+    the exactness contract -- callers take single-zero counts from the
+    run bins).  Same VMEM formulation as the fused encode kernel's
+    literal epilogue (_literal_grid_tile); exists for direct testing
+    and microbenching of that epilogue.
+    """
+    tiles = pad_cols(blocks)
+    nb, rr, lp = tiles.shape
+    cols = blocks.shape[-1]
+    space = pl.ANY if interpret else pltpu.VMEM
+
+    def kernel(wire_ref, out_ref):
+        out_ref[0] = _literal_grid_tile(
+            wire_ref[0].astype(jnp.int32), cols)
+
+    grid_out = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((1, rr, lp), lambda i: (i, 0, 0),
+                               memory_space=space)],
+        out_specs=pl.BlockSpec((1, 128, 128), lambda i: (i, 0, 0),
+                               memory_space=space),
+        out_shape=jax.ShapeDtypeStruct((nb, 128, 128), jnp.int32),
+        interpret=interpret,
+    )(tiles)
+    return literal_grid_to_hist(grid_out)
 
 
 def _make_frame_kernel(c: int, use_ycbcr: bool, w8: int):

@@ -45,11 +45,27 @@ class BatchCodec:
 
     def __init__(self, h: int, w: int, c: int, quality: int = 50,
                  use_ycbcr: bool = True, chunk: int = 4,
-                 pixel_format: str = "hwc", host_threads: int = 1):
+                 pixel_format: str = "hwc", host_threads: int = 1,
+                 mesh=None):
         if pixel_format not in ("hwc", "packed"):
             raise ValueError(f"unknown pixel_format {pixel_format!r}")
         if pixel_format == "packed" and c not in (1, 3, 4):
             raise ValueError("packed pixel_format supports 1/3/4 channels")
+        # mesh: optional 1-axis jax.sharding.Mesh -- frames of each chunk
+        # spread over its devices (SURVEY.md §5 config 4 data parallelism
+        # at container level).  The transform is embarrassingly batch
+        # parallel, so the shard_map bodies need no collectives; chips
+        # stream their shards back and the host entropy funnels fan out
+        # over host_threads.  chunk must divide by the mesh size.
+        self.mesh = mesh
+        if mesh is not None:
+            n_mesh = int(np.prod(tuple(mesh.shape.values())))
+            if len(mesh.axis_names) != 1:
+                raise ValueError("BatchCodec mesh must have one axis")
+            if chunk % n_mesh:
+                raise ValueError(
+                    f"chunk ({chunk}) must be a multiple of the mesh size "
+                    f"({n_mesh})")
         self.pixel_format = pixel_format
         self.h, self.w, self.c = h, w, c
         self.chunk = chunk
@@ -113,18 +129,37 @@ class BatchCodec:
         # backend the histogram is unused (compress_py retokenizes), so
         # the encode program doesn't compute it at all.
         from ..entropy import native as _native
-        from ..entropy.device_hist import frame_histograms
+        from ..entropy.device_hist import assemble_hists, frame_histograms
         block = self.cols * c * 64
         self._use_hist = _native.available()
+        # Histograms on the fused path: both the RLE run classes and the
+        # literal byte counts come out of the encode kernel's epilogue
+        # (the wire bytes are still in VMEM there; the XLA formulations
+        # re-read the 100 MB FRES buffer through ~15 materialized boolean
+        # passes and push 3.2 GB of one-hots through HBM: +12 ms and
+        # +6.6 ms per 16x1080p, VERDICT r4/r5 item 1).
+        # HIMG_KERNEL_BINS=0 A/Bs the old XLA-histogram path.
+        import os
+        kernel_bins = (fused_enc and self._use_hist
+                       and self.cols <= 16384
+                       and os.environ.get("HIMG_KERNEL_BINS", "1")
+                       not in ("0", "false", ""))
 
         def enc_stage(frames, *targs):
             b = frames.shape[0]
+            run_bins = lit = None
             if fused_enc:
                 from ..format.tables import ZIGZAG
                 from ..ops import lowres
                 shift_zz = targs[0][:, np.asarray(ZIGZAG)]
-                fres, grids = pk.encode_frames_from_raster(
-                    frames, shift_zz, targs[1], c, self.use_ycbcr)
+                if kernel_bins:
+                    fres, grids, run_bins, lit = \
+                        pk.encode_frames_from_raster(
+                            frames, shift_zz, targs[1], c, self.use_ycbcr,
+                            with_run_bins=True)
+                else:
+                    fres, grids = pk.encode_frames_from_raster(
+                        frames, shift_zz, targs[1], c, self.use_ycbcr)
                 pred = jax.vmap(jax.vmap(lowres.select_predictors))(grids)
                 eff = jnp.where(pred <= 1, 0, pred)
                 delta = jax.vmap(jax.vmap(
@@ -143,7 +178,10 @@ class BatchCodec:
                     [pred.astype(jnp.uint8).reshape(b, -1),
                      delta.reshape(b, -1)], axis=1)
             if self._use_hist:
-                hist = frame_histograms(fres.reshape(b, -1), block)
+                if run_bins is not None:
+                    hist = assemble_hists(run_bins, lit)
+                else:
+                    hist = frame_histograms(fres.reshape(b, -1), block)
                 return small, fres, hist
             return small, fres
 
@@ -179,8 +217,21 @@ class BatchCodec:
                     fres, delta, pred, shift_tables, fr_pos, lr_unmap)
             return from_planar(img)  # flat for the fast transfer path
 
-        self._enc = jax.jit(enc_stage)
-        self._dec = jax.jit(dec_stage)
+        if mesh is None:
+            self._enc = jax.jit(enc_stage)
+            self._dec = jax.jit(dec_stage)
+        else:
+            from jax.sharding import PartitionSpec as P
+            ax = mesh.axis_names[0]
+            enc_out = ((P(ax),) * 3 if self._use_hist else (P(ax),) * 2)
+            self._enc = jax.jit(jax.shard_map(
+                enc_stage, mesh=mesh,
+                in_specs=(P(ax), P(), P(), P(), P()),
+                out_specs=enc_out, check_vma=False))
+            self._dec = jax.jit(jax.shard_map(
+                dec_stage, mesh=mesh,
+                in_specs=(P(ax), P(ax), P(), P(), P()),
+                out_specs=P(ax), check_vma=False))
         # Standalone histogram program (tools/tests that only have FRES
         # planes); the production path gets it fused into _enc above.
         self._hist = jax.jit(lambda fres: frame_histograms(
@@ -225,6 +276,12 @@ class BatchCodec:
         self._check_input(frames)
         targs = self.tables.device_args()
         chunks = [frames[i:i + self.chunk] for i in range(0, b, self.chunk)]
+        if self.mesh is not None:
+            n_mesh = int(np.prod(tuple(self.mesh.shape.values())))
+            if any(ch.shape[0] % n_mesh for ch in chunks):
+                raise ValueError(
+                    f"every chunk (chunk={self.chunk}, batch={b}) must "
+                    f"divide by the mesh size ({n_mesh})")
 
         def entropy_stage(small_dev, fres_dev, hist_dev, nb):
             small = np.asarray(small_dev).reshape(nb, self._small)
@@ -246,7 +303,11 @@ class BatchCodec:
         with ThreadPoolExecutor(max_workers=1) as pool:
             pending = None
             for ch in chunks:
-                outs = self._enc(jnp.asarray(ch), *targs)  # async
+                # Mesh mode hands jit the host array so it lands with the
+                # batch sharding directly (a committed single-device array
+                # would force a gather-reshard first).
+                arr = ch if self.mesh is not None else jnp.asarray(ch)
+                outs = self._enc(arr, *targs)  # async
                 (small, fres), hists = outs[:2], (
                     outs[2] if self._use_hist else None)
                 if pending is not None:
@@ -289,13 +350,23 @@ class BatchCodec:
 
         chunks = [blobs[i:i + self.chunk]
                   for i in range(0, len(blobs), self.chunk)]
+        if self.mesh is not None:
+            n_mesh = int(np.prod(tuple(self.mesh.shape.values())))
+            if any(len(ch) % n_mesh for ch in chunks):
+                raise ValueError(
+                    f"every chunk (chunk={self.chunk}, batch={len(blobs)}) "
+                    f"must divide by the mesh size ({n_mesh})")
         with ThreadPoolExecutor(max_workers=1) as pool:
             futures = [pool.submit(parse_stage, ch) for ch in chunks]
             devs = []
             for fut in futures:
                 small, fres, nb = fut.result()
-                devs.append(self._dec(jnp.asarray(small), jnp.asarray(fres),
-                                      *targs_holder["t"]))
+                if self.mesh is not None:
+                    devs.append(self._dec(small, fres, *targs_holder["t"]))
+                else:
+                    devs.append(self._dec(jnp.asarray(small),
+                                          jnp.asarray(fres),
+                                          *targs_holder["t"]))
             outs = [np.asarray(dev) for dev in devs]
         flat = outs[0] if len(outs) == 1 else np.concatenate(outs)
         h8, w8 = self.rows * 8, self.cols * 8

@@ -128,6 +128,16 @@ def main(argv=None) -> int:
                                        bs, dec[k].ctypes.data, n, 1)
             assert rc == 0, rc
             return time.perf_counter() - t0
+
+        # Decode-output gate (doubles as the warm pass): both builds
+        # must reproduce the original planes exactly.
+        for i in range(nf):
+            for k in libs:
+                run(k, i)
+                if not np.array_equal(dec[k], flats[i]):
+                    print(f"DECODE MISMATCH ({k}) on frame {i}")
+                    return 1
+        print(f"decode outputs exact on {nf} frames (both builds)")
     else:
         run = lambda k, i: enc(k, i)[0]  # noqa: E731
 

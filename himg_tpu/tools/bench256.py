@@ -61,8 +61,20 @@ def main():
     pix = BATCH * H * W
     log(f"frames: {frames.nbytes / 1e9:.2f} GB host (packed u32)")
 
+    # --mesh: spread each chunk's frames over every visible chip (config
+    # 4's batch-axis data parallelism at container level; shard_map'd
+    # transform, per-chip host entropy funnels).  On the 1-chip bench
+    # host this degenerates to a size-1 mesh; the 8-way byte-identity
+    # lives in tests/test_sharding.py on the virtual CPU mesh.
+    mesh = None
+    if "--mesh" in sys.argv:
+        from jax.sharding import Mesh
+        devs = np.array(jax.devices())
+        n = max(d for d in range(1, len(devs) + 1) if CHUNK % d == 0)
+        mesh = Mesh(devs[:n], ("batch",))
+        log(f"mesh mode: {n} device(s) on the batch axis")
     codec = BatchCodec(H, W, C, QUALITY, use_ycbcr=True, chunk=CHUNK,
-                       pixel_format="packed")
+                       pixel_format="packed", mesh=mesh)
     targs = codec.tables.device_args()
 
     # Device stage at the 256 scale: chained chunk dispatches, one sync.
@@ -130,18 +142,23 @@ def main():
     # the entropy stage pays only their tiny device->host transfer, and the
     # host runs the fused single-pass scan+pack.
     t0 = time.perf_counter()
-    host_rows = [(np.asarray(s).reshape(CHUNK, -1),
-                  np.asarray(f).reshape(CHUNK, -1)) for s, f, _ in outs]
+    host_rows = [(np.asarray(o[0]).reshape(CHUNK, -1),
+                  np.asarray(o[1]).reshape(CHUNK, -1)) for o in outs]
     xfer_s = time.perf_counter() - t0
     log(f"device->host copy of all planes: {xfer_s:.1f}s (tunnel)")
     ent_enc = ent_dec = 0.0
     n_blob_bytes = 0
-    for (smalls, freses), (_, _, hist_dev) in zip(host_rows, outs):
+    for (smalls, freses), o in zip(host_rows, outs):
+        # Without the native backend the encode program emits no histogram
+        # (2-tuple outputs); assemble_container retokenizes on host then.
+        hist_dev = o[2] if codec._use_hist else None
         t0 = time.perf_counter()
-        hists = np.asarray(hist_dev).astype(np.int64)
+        hists = (np.asarray(hist_dev).astype(np.int64)
+                 if hist_dev is not None else None)
         blobs = [assemble_container(W, H, C, codec.tables,
                                     *codec._image_views(smalls[i], freses[i]),
-                                    fres_hist=hists[i])
+                                    fres_hist=None if hists is None
+                                    else hists[i])
                  for i in range(CHUNK)]
         ent_enc += time.perf_counter() - t0
         n_blob_bytes += sum(len(b) for b in blobs)

@@ -176,6 +176,28 @@ def _run_checks(log):
                 np.testing.assert_array_equal(hist_dev[i], host)
     check("device_histogram_vs_host", device_histogram)
 
+    def kernel_run_bins():
+        # The encode kernel's histogram epilogue (run-class counts +
+        # packed-grid literal bins) must reproduce frame_histograms
+        # bin-exactly on real hardware (it drives the Huffman tree
+        # byte-for-byte).
+        from ..entropy.device_hist import assemble_hists, frame_histograms
+        from ..utils.synth import pack_rgbx
+        shift_zz = jnp.asarray(et.shift_tables[:, np.asarray(tables.ZIGZAG)])
+        block = fres.shape[-1] * C * 64
+
+        def prog(p):
+            fres_f, _, rb, lit = pk.encode_frames_from_raster(
+                p, shift_zz, jnp.asarray(et.fr_mapper.pack_thresholds),
+                C, True, with_run_bins=True)
+            flat = fres_f.reshape(fres_f.shape[0], -1)
+            return (fres_f, assemble_hists(rb, lit),
+                    frame_histograms(flat, block))
+        fres_f, got, want = jax.jit(prog)(jnp.asarray(pack_rgbx(frames)))
+        np.testing.assert_array_equal(np.asarray(fres_f), fres)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    check("kernel_run_bins_vs_xla", kernel_run_bins)
+
     def full_pipeline_roundtrip():
         import himg_tpu
         blob = himg_tpu.encode(frames[0], Q, True)

@@ -124,3 +124,37 @@ def test_sharded_8k_roundtrip(mesh8):
     assert blob == himg_tpu.encode(img, 50, True)
     out = sharding.decode_image_sharded(mesh8, blob)
     assert np.array_equal(out, himg_tpu.decode(blob))
+
+
+def test_mesh_batch_codec_byte_identity():
+    """Config 4 at container level (VERDICT r4 item 6): BatchCodec with a
+    1-axis mesh spreads each chunk's frames over the devices; blobs and
+    decoded pixels must be identical to the single-device codec."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from jax.sharding import Mesh
+    from himg_tpu.pipeline.batch import BatchCodec
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("batch",))
+    frames = np.stack([make_image(40, 56, 3, seed=s) for s in range(16)])
+    plain = BatchCodec(40, 56, 3, 60, chunk=8)
+    dist = BatchCodec(40, 56, 3, 60, chunk=8, mesh=mesh)
+    want = plain.encode_batch(frames)
+    got = dist.encode_batch(frames)
+    assert got == want
+    out = dist.decode_batch(got)
+    assert np.array_equal(out, plain.decode_batch(want))
+
+
+def test_mesh_batch_codec_validates_divisibility():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from jax.sharding import Mesh
+    from himg_tpu.pipeline.batch import BatchCodec
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("batch",))
+    with pytest.raises(ValueError):
+        BatchCodec(16, 16, 3, 50, chunk=4, mesh=mesh)
+    codec = BatchCodec(16, 16, 3, 50, chunk=8, mesh=mesh)
+    with pytest.raises(ValueError):  # 12 % 8 != 0 in the last chunk
+        codec.encode_batch(np.zeros((12, 16, 16, 3), np.uint8))

@@ -72,7 +72,13 @@ def oracle_decode(oracle_dir, data: bytes, tmp_path):
             [str(oracle_dir / "oracle"), "decode", str(inp), str(out)],
             capture_output=True)
         d = out.read_bytes() if proc.returncode == 0 else b""
-        cached.write_bytes(d)
+        # Cache successes only: a transient failure (OOM, disk, signal)
+        # must not be content-addressed into a permanent empty sentinel
+        # that silently skips the comparison forever (ADVICE r4).  The
+        # known reference decode bug re-runs live each time -- it is a
+        # cheap subprocess on a tiny input.
+        if proc.returncode == 0:
+            cached.write_bytes(d)
     if not d:
         return None
     w, h, c = np.frombuffer(d[:12], dtype=np.uint32)
