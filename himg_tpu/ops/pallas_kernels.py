@@ -154,31 +154,72 @@ def _butterfly_rows(x, stride: int, wrap: bool = False):
     return stacked.reshape(64, -1)
 
 
-def _encode_kernel(px_ref, la_ref, lb_ref, lc_ref, ld_ref, shift_ref,
-                   th_ref, out_ref):
-    pred = _upsample_tile(la_ref[0, 0].astype(jnp.int32),
-                          lb_ref[0, 0].astype(jnp.int32),
-                          lc_ref[0, 0].astype(jnp.int32),
-                          ld_ref[0, 0].astype(jnp.int32))
-    x = _wrap16(px_ref[0].astype(jnp.int32) - pred)
-    # Forward WHT with int16 wrap semantics, rows then columns.
-    x = _butterfly_rows(x, 1, wrap=True)
-    x = _butterfly_rows(x, 8, wrap=True)
-    # Zigzag into the FRES interleave order.
-    x32 = _row_perm(x, np.asarray(ZIGZAG))
-    # Shift-quantize (round-to-nearest on |x|), int32 intermediates.
-    shift = shift_ref[0, 0][:, None]                    # [64, 1], zigzagged
-    rnd = jnp.where(shift != 0, 1 << jnp.maximum(shift - 1, 0), 0)
-    mag = (jnp.abs(x32) + rnd) >> shift
-    q = _wrap16(jnp.where(x32 < 0, -mag, mag))
-    # MapTo8Bit as a 127-threshold compare reduction.
-    aq = jnp.abs(q)
-    idx = jnp.zeros_like(aq)
-    for k in range(127):
-        idx += (aq >= th_ref[0, 0, k]).astype(jnp.int32)
-    idx = jnp.where(q == -32768, 1, idx)
-    wire = jnp.where(q == 0, 0, jnp.where(q > 0, idx, (-idx) & 0xFF))
-    out_ref[0] = wire.astype(jnp.uint8)
+def _map_idx(aq, th_vec, linear49: bool):
+    """MapTo8Bit index = #(thresholds <= aq) over the 127 sorted pack
+    thresholds (mapper.cpp:159-182 nearest/tie rules are baked into the
+    threshold values; format/tables.py pack_thresholds).
+
+    linear49=True asserts (caller-verified on host) that th[j] == j + 1
+    for j <= 48 -- true of every FullResMapper table at every quality
+    (mapper.cpp:213 ignores quality; tables.py) -- which collapses the
+    first 49 compares to min(aq, 49).  Measured 2.4 ms of a 16x1080p
+    fused encode on a v5e (loop-count sensitivity probe, round 5).
+    """
+    if linear49:
+        idx = jnp.minimum(aq, 49)
+        ks = range(49, 127)
+    else:
+        idx = jnp.zeros_like(aq)
+        ks = range(127)
+    for k in ks:
+        idx += (aq >= th_vec[k]).astype(jnp.int32)
+    return idx
+
+
+def _unmap_tree(mag, pos_vec):
+    """pos_vec[mag] for mag in [0, 128) as a bit-indexed select tree.
+
+    The masked-sum unmap is 3 full-tile VPU ops per table entry
+    (compare + select + add, ~384 passes); a balanced tree over the 7
+    index bits is 127 selects + 7 bit tests (~2.7x fewer ops, measured
+    ~4 ms of a 16x1080p fused decode on a v5e).  Exact for ANY
+    128-entry table -- the FMAP curve arrives in the bitstream, so no
+    value structure may be assumed (mapper.h:33-35 semantics).
+    """
+    level = [pos_vec[k].astype(jnp.int32) for k in range(128)]
+    for l in range(7):
+        b = (mag & (1 << l)) != 0
+        level = [jnp.where(b, level[2 * i + 1], level[2 * i])
+                 for i in range(len(level) // 2)]
+    return level[0]
+
+
+def _make_encode_kernel(th_linear49: bool):
+    def _encode_kernel(px_ref, la_ref, lb_ref, lc_ref, ld_ref, shift_ref,
+                       th_ref, out_ref):
+        pred = _upsample_tile(la_ref[0, 0].astype(jnp.int32),
+                              lb_ref[0, 0].astype(jnp.int32),
+                              lc_ref[0, 0].astype(jnp.int32),
+                              ld_ref[0, 0].astype(jnp.int32))
+        x = _wrap16(px_ref[0].astype(jnp.int32) - pred)
+        # Forward WHT with int16 wrap semantics, rows then columns.
+        x = _butterfly_rows(x, 1, wrap=True)
+        x = _butterfly_rows(x, 8, wrap=True)
+        # Zigzag into the FRES interleave order.
+        x32 = _row_perm(x, np.asarray(ZIGZAG))
+        # Shift-quantize (round-to-nearest on |x|), int32 intermediates.
+        shift = shift_ref[0, 0][:, None]                # [64, 1], zigzagged
+        rnd = jnp.where(shift != 0, 1 << jnp.maximum(shift - 1, 0), 0)
+        mag = (jnp.abs(x32) + rnd) >> shift
+        q = _wrap16(jnp.where(x32 < 0, -mag, mag))
+        # MapTo8Bit as a threshold-count compare reduction.
+        aq = jnp.abs(q)
+        idx = _map_idx(aq, th_ref[0, 0], th_linear49)
+        idx = jnp.where(q == -32768, 1, idx)
+        wire = jnp.where(q == 0, 0, jnp.where(q > 0, idx, (-idx) & 0xFF))
+        out_ref[0] = wire.astype(jnp.uint8)
+
+    return _encode_kernel
 
 
 def _decode_kernel(wire_ref, la_ref, lb_ref, lc_ref, ld_ref, shift_ref,
@@ -186,11 +227,8 @@ def _decode_kernel(wire_ref, la_ref, lb_ref, lc_ref, ld_ref, shift_ref,
     d = wire_ref[0].astype(jnp.int32)                   # [64, cols]
     mag = jnp.where(d < 128, d, jnp.minimum(256 - d, 127))
     sgn = jnp.where(d < 128, 1, -1)
-    # Unmap: 128-way select reduction against the positive curve.
-    val = jnp.zeros_like(mag)
-    for k in range(128):
-        val += jnp.where(mag == k, pos_ref[0, 0, k].astype(jnp.int32), 0)
-    val = val * sgn
+    # Unmap: bit-indexed select tree against the positive curve.
+    val = _unmap_tree(mag, pos_ref[0, 0]) * sgn
     shift = shift_ref[0, 0][:, None]
     coeff = _wrap16(val << shift)
     # Un-zigzag, inverse WHT (int32 with >>3 + int16 wrap per pass), +pred.
@@ -243,19 +281,23 @@ def _fold_corners(grids: jnp.ndarray, cols_p: int):
 
 def encode_rows(pixels_pm: jnp.ndarray, grids: jnp.ndarray,
                 shift_zz: jnp.ndarray, thresholds: jnp.ndarray,
-                interpret: bool = False) -> jnp.ndarray:
+                interpret: bool = False,
+                th_linear49: bool = False) -> jnp.ndarray:
     """Fused encode of interleaved block rows.
 
     pixels_pm: uint8/int [R, 64, colsP] (R = channels x block rows,
     folded); grids: uint8 [C, rows, cols] low-res sample grids (the
     predictor is upsampled in-kernel); shift_zz: [C, 64] zigzag-ordered
     shifts; thresholds: [127].  Returns uint8 [R, 64, colsP] wire bytes.
+    th_linear49: caller-verified assertion that thresholds[j] == j + 1
+    for j <= 48 (true of every FullResMapper table; see _map_idx).
     """
     rows, _, cols_p = pixels_pm.shape
     shift_zz = shift_zz.reshape(-1, 64)
     rpc = rows // shift_zz.shape[0]
     corners = _fold_corners(grids, cols_p)
-    return _call(_encode_kernel, rows, cols_p, rpc, 127, interpret)(
+    return _call(_make_encode_kernel(th_linear49), rows, cols_p, rpc, 127,
+                 interpret)(
         pixels_pm.astype(jnp.uint8), *corners,
         shift_zz[:, None, :].astype(jnp.int32),
         thresholds.reshape(1, 1, 127).astype(jnp.int32))
@@ -267,10 +309,7 @@ def _decode_channel_tile(wire32, la, lb, lc, ld, shift_col, pos_vec):
     predictor add, clamp)."""
     mag = jnp.where(wire32 < 128, wire32, jnp.minimum(256 - wire32, 127))
     sgn = jnp.where(wire32 < 128, 1, -1)
-    val = jnp.zeros_like(mag)
-    for k in range(128):
-        val += jnp.where(mag == k, pos_vec[k].astype(jnp.int32), 0)
-    val = val * sgn
+    val = _unmap_tree(mag, pos_vec) * sgn
     coeff = _wrap16(val << shift_col)
     x = _row_perm(coeff, _INV_ZIGZAG)
     x = _wrap16(_butterfly_rows(x, 1) >> 3)
@@ -355,7 +394,8 @@ def _lane_shift_left_clamped(x, lane_iota, last: int):
     return jnp.where(lane_iota >= last, edge, rolled)
 
 
-def _encode_channel_tile(pix, la, lb, lc, ld, shift_col, th_vec):
+def _encode_channel_tile(pix, la, lb, lc, ld, shift_col, th_vec,
+                         th_linear49: bool = False):
     """Shared encode math for one channel's plane-major [64, colsP] int32
     pixel tile -> uint8 wire bytes (predictor subtract, forward WHT with
     int16 wrap, zigzag, shift-quantize, MapTo8Bit compare reduction).
@@ -370,9 +410,7 @@ def _encode_channel_tile(pix, la, lb, lc, ld, shift_col, th_vec):
     mag = (jnp.abs(x32) + rnd) >> shift_col
     q = _wrap16(jnp.where(x32 < 0, -mag, mag))
     aq = jnp.abs(q)
-    idx = jnp.zeros_like(aq)
-    for k in range(127):
-        idx += (aq >= th_vec[k]).astype(jnp.int32)
+    idx = _map_idx(aq, th_vec, th_linear49)
     idx = jnp.where(q == -32768, 1, idx)
     wire = jnp.where(q == 0, 0, jnp.where(q > 0, idx, (-idx) & 0xFF))
     return wire.astype(jnp.uint8)
@@ -614,7 +652,8 @@ def literal_grid_to_hist(grid: jnp.ndarray) -> jnp.ndarray:
 
 def _make_encode_frame_kernel(c: int, use_ycbcr: bool, rows: int, h: int,
                               w: int, cols: int, cols_p: int, w8: int,
-                              with_run_bins: bool = False):
+                              with_run_bins: bool = False,
+                              th_linear49: bool = False):
     """Single-pass encode kernel body: one grid step = one block row.
 
     Consumes raw raster packed-u32 pixels (4 halo-clamped block views of
@@ -740,7 +779,8 @@ def _make_encode_frame_kernel(c: int, use_ycbcr: bool, rows: int, h: int,
                  for y in range(8) for xx in range(8)], axis=0)
             wires.append(_encode_channel_tile(
                 pm, la[ch], lb[ch], lc[ch], ld[ch],
-                shift_ref[0, ch][:, None], th_vec))
+                shift_ref[0, ch][:, None], th_vec,
+                th_linear49=th_linear49))
         wire_all = jnp.concatenate(wires, axis=0)
         wire_ref[0] = wire_all
         samp_ref[0] = jnp.clip(comp_v, 0, 255).astype(jnp.uint8)
@@ -797,7 +837,8 @@ def pad_raster_to_blocks(packed: jnp.ndarray, lanes: int) -> jnp.ndarray:
 
 def encode_frames_from_raster(packed, shift_zz, thresholds, c: int,
                               use_ycbcr: bool, interpret: bool = False,
-                              with_run_bins: bool = False):
+                              with_run_bins: bool = False,
+                              th_linear49: bool = False):
     """Single-pass fused encode of raster packed frames, any geometry.
 
     packed: uint32 [B, H, W] channel-packed pixels (uint8 [B, H, W] for
@@ -861,7 +902,8 @@ def encode_frames_from_raster(packed, shift_zz, thresholds, c: int,
         out_shape.append(jax.ShapeDtypeStruct((b, 128, 128), jnp.int32))
     outs = pl.pallas_call(
         _make_encode_frame_kernel(c, use_ycbcr, rows, hh, ww, cols, cols_p,
-                                  w8, with_run_bins=with_run_bins),
+                                  w8, with_run_bins=with_run_bins,
+                                  th_linear49=th_linear49),
         grid=(nb,),
         in_specs=[halo(-2), halo(-1), halo(0), halo(1),
                   shift_spec, th_spec, wmat_spec, bt_spec],

@@ -156,10 +156,12 @@ class BatchCodec:
                     fres, grids, run_bins, lit = \
                         pk.encode_frames_from_raster(
                             frames, shift_zz, targs[1], c, self.use_ycbcr,
-                            with_run_bins=True)
+                            with_run_bins=True,
+                            th_linear49=self.tables.th_linear49)
                 else:
                     fres, grids = pk.encode_frames_from_raster(
-                        frames, shift_zz, targs[1], c, self.use_ycbcr)
+                        frames, shift_zz, targs[1], c, self.use_ycbcr,
+                        th_linear49=self.tables.th_linear49)
                 pred = jax.vmap(jax.vmap(lowres.select_predictors))(grids)
                 eff = jnp.where(pred <= 1, 0, pred)
                 delta = jax.vmap(jax.vmap(
@@ -171,7 +173,8 @@ class BatchCodec:
             else:
                 pred, delta, fres = jax.vmap(
                     partial(_encode_device_planar, use_ycbcr=self.use_ycbcr,
-                            use_pallas=use_pallas),
+                            use_pallas=use_pallas,
+                            th_linear49=self.tables.th_linear49),
                     in_axes=(0, None, None, None, None))(to_planar(frames),
                                                          *targs)
                 small = jnp.concatenate(

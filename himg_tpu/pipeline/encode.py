@@ -31,22 +31,29 @@ def _stream_order(rows: int, cols: int) -> np.ndarray:
     return lowres.macroblock_stream_order(rows, cols)
 
 
-@partial(jax.jit, static_argnames=("use_ycbcr", "use_pallas"))
+@partial(jax.jit,
+         static_argnames=("use_ycbcr", "use_pallas", "th_linear49"))
 def _encode_device(img, shift_tables, fr_thresholds, lr_map_small, lr_unmap,
-                   use_ycbcr: bool, use_pallas: bool = False):
+                   use_ycbcr: bool, use_pallas: bool = False,
+                   th_linear49: bool = False):
     """Device-side encode: [H, W, C] uint8 -> low-res + coefficient planes.
 
     Returns (pred_ids [C, MR, MC] int32,
              delta_grids [C, R, Cc] uint8,
              fres [rows, C, 64, cols] uint8 interleaved planes).
+    th_linear49: host-verified assertion that fr_thresholds[j] == j + 1
+    for j <= 48 (EncodeTables.th_linear49); shortens the in-kernel
+    MapTo8Bit compare reduction.
     """
     return _encode_device_planar(jnp.moveaxis(img, -1, 0), shift_tables,
                                  fr_thresholds, lr_map_small, lr_unmap,
-                                 use_ycbcr, use_pallas)
+                                 use_ycbcr, use_pallas,
+                                 th_linear49=th_linear49)
 
 
 def _encode_device_planar(chans, shift_tables, fr_thresholds, lr_map_small,
-                          lr_unmap, use_ycbcr: bool, use_pallas: bool = False):
+                          lr_unmap, use_ycbcr: bool, use_pallas: bool = False,
+                          th_linear49: bool = False):
     """Planar-input core of _encode_device: chans is [C, H, W] uint8.
 
     Channel-planar is the TPU-native form (a u8 [H, W, C] -> [C, H, W]
@@ -86,7 +93,8 @@ def _encode_device_planar(chans, shift_tables, fr_thresholds, lr_map_small,
     if use_pallas:
         from ..ops import pallas_kernels as pk
         px = pk.pad_cols(pm_u8.reshape(c * rows, 64, cols))
-        wire = pk.encode_rows(px, grids, shift_zz, fr_thresholds)
+        wire = pk.encode_rows(px, grids, shift_zz, fr_thresholds,
+                              th_linear49=th_linear49)
         packed = wire.reshape(c, rows, 64, -1)[..., :cols]
     else:
         pred_pm = jax.vmap(lowres.upsample_pm)(grids)
@@ -112,6 +120,13 @@ class EncodeTables:
         if use_ycbcr:
             shift[1:3] = self.chroma_shift
         self.shift_tables = shift
+        # Host-verified table structure for the kernels' fast paths:
+        # FullResMapper is quality-independent and its first 49 pack
+        # thresholds are 1..49 (identity low region), but the kernels
+        # only assume it when this check passes.
+        self.th_linear49 = bool(np.array_equal(
+            np.asarray(self.fr_mapper.pack_thresholds)[:49],
+            np.arange(1, 50)))
 
     def device_args(self):
         lr = self.lr_mapper
@@ -183,6 +198,6 @@ def encode(image: np.ndarray, quality: int = 50, use_ycbcr: bool = True) -> byte
     et = EncodeTables(quality, use_ycbcr, c)
     pred_ids, delta_grids, fres = _encode_device(
         jnp.asarray(img), *et.device_args(), use_ycbcr,
-        use_pallas=pk.default_enabled())
+        use_pallas=pk.default_enabled(), th_linear49=et.th_linear49)
     return assemble_container(w, h, c, et, np.asarray(pred_ids),
                               np.asarray(delta_grids), np.asarray(fres))

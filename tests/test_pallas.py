@@ -58,6 +58,45 @@ def test_decode_rows_matches_xla():
         got[:, :, :cols].reshape(rows, 8, 8, cols), ref)
 
 
+def test_map_idx_linear49_exhaustive():
+    """The linear-low-region MapTo8Bit shortcut equals the full
+    127-compare reduction for EVERY quantized magnitude (the full-res
+    thresholds satisfy th[j] == j + 1 for j <= 48; _map_idx)."""
+    fr = tables.MappingTable.for_fullres_quality(50)
+    th = jnp.asarray(np.asarray(fr.pack_thresholds).astype(np.int32))
+    assert np.array_equal(np.asarray(th)[:49], np.arange(1, 50))
+    aq = jnp.arange(32768, dtype=jnp.int32)
+    fast = np.asarray(pk._map_idx(aq, th, True))
+    slow = np.asarray(pk._map_idx(aq, th, False))
+    assert np.array_equal(fast, slow)
+
+
+def test_unmap_tree_exhaustive():
+    """The bit-indexed select tree equals table indexing for every
+    mag in [0, 128), for the real full-res curve and random tables
+    (the FMAP curve comes from the bitstream: no structure assumed)."""
+    rng = np.random.default_rng(7)
+    fr = tables.MappingTable.for_fullres_quality(50)
+    mags = jnp.arange(128, dtype=jnp.int32)
+    for pos in (np.asarray(fr.positive).astype(np.int32),
+                rng.integers(0, 32768, 128).astype(np.int32)):
+        got = np.asarray(pk._unmap_tree(mags, jnp.asarray(pos)))
+        assert np.array_equal(got, pos[np.asarray(mags)])
+
+
+def test_encode_rows_th_linear49_byte_identical():
+    """encode_rows with the caller-verified linear-low-region flag is
+    byte-identical to the generic threshold reduction."""
+    _, rows, cols, fr, shift_zz, px, grids, _ = _setup()
+    args = (pk.pad_cols(jnp.asarray(px.reshape(rows, 64, cols))),
+            jnp.asarray(grids), jnp.asarray(shift_zz),
+            jnp.asarray(fr.pack_thresholds))
+    base = np.asarray(pk.encode_rows(*args, interpret=True))
+    fast = np.asarray(pk.encode_rows(*args, interpret=True,
+                                     th_linear49=True))
+    assert np.array_equal(fast, base)
+
+
 # Geometry sweep for the single-pass frame kernels.  Beyond the aligned
 # cases: 1000 px = 125 block cols (not a 16 multiple: lane padding +
 # in-graph crop in play) and 35x75 = partial edge blocks (in-graph
@@ -100,7 +139,7 @@ def test_encode_frames_from_raster_matches_planar(h, w, c, use_ycbcr):
     fres, grids = pk.encode_frames_from_raster(
         jnp.asarray(packed), jnp.asarray(shift_zz),
         jnp.asarray(et.fr_mapper.pack_thresholds), c, use_ycbcr,
-        interpret=True)
+        interpret=True, th_linear49=et.th_linear49)
     assert np.array_equal(np.asarray(grids), ref_grids)
     assert np.array_equal(np.asarray(fres), np.asarray(ref[2]))
 
