@@ -254,16 +254,19 @@ def test_feedback_scan_variants_agree():
     pid = jnp.where(pid <= 1, 0, pid).reshape(-1)
     tiles, _ = lowres._to_tiles(grid.astype(jnp.int16))
     enc_ref = dec_ref = None
-    for unroll in (False, True):
-        for geval in ("bcast", "dot8"):
-            enc = np.asarray(lowres._feedback_scan(
-                tiles, pid, False, targs[2], targs[3],
-                unroll=unroll, geval=geval))
-            if enc_ref is None:
-                enc_ref = enc
-            assert np.array_equal(enc, enc_ref), (unroll, geval)
-        dec = np.asarray(lowres._feedback_scan(
-            tiles, pid, True, None, targs[3], unroll=unroll))
-        if dec_ref is None:
-            dec_ref = dec
-        assert np.array_equal(dec, dec_ref), unroll
+    for wavefront in (False, True):
+        for unroll in (False, True):
+            for geval in ("bcast", "dot8"):
+                enc = np.asarray(lowres._feedback_scan(
+                    tiles, pid, False, targs[2], targs[3],
+                    unroll=unroll, geval=geval, wavefront=wavefront))
+                if enc_ref is None:
+                    enc_ref = enc
+                assert np.array_equal(enc, enc_ref), (wavefront, unroll,
+                                                      geval)
+            dec = np.asarray(lowres._feedback_scan(
+                tiles, pid, True, None, targs[3], unroll=unroll,
+                wavefront=wavefront))
+            if dec_ref is None:
+                dec_ref = dec
+            assert np.array_equal(dec, dec_ref), (wavefront, unroll)
